@@ -70,7 +70,7 @@ def mol_from_smiles(smiles: str, sanitize: bool = True) -> Optional[Mol]:
     (mirrors MolFromSmiles behaviour); raises SmilesError when sanitize=False
     and the string is syntactically invalid."""
     try:
-        mol = _parse(smiles)
+        mol = _parse(smiles.strip())
     except SmilesError:
         return None
     if sanitize:

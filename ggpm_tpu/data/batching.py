@@ -1,0 +1,136 @@
+"""Fixed-shape batch assembly for jit/pjit.
+
+Converts host-side ``MolGraphBatch`` numpy tensors into (optionally
+bucket-padded) arrays.  Ragged graphs are the "long-context" analogue of this
+framework (SURVEY.md §5): padding to a small ladder of bucket shapes keeps XLA
+recompiles bounded while wasting little compute.
+
+Padding invariants: row/col padding of index tables is 0 (the padding
+node/message); the decoder's virtual root-message slots (which index past the
+real messages) are re-based when the message table grows.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import replace
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..graph.mol_graph import DecodePlan, LevelTensors, MolGraphBatch
+
+
+def _round_up(n: int, minimum: int = 32) -> int:
+    """Round to the next power-of-two-ish bucket: {m, 2m, 4m, ...}."""
+    size = max(n, minimum)
+    bucket = minimum
+    while bucket < size:
+        bucket *= 2
+    return bucket
+
+
+def _pad2(a: np.ndarray, rows: int, cols: Optional[int] = None) -> np.ndarray:
+    out_shape = (rows,) + ((cols,) if cols is not None else a.shape[1:])
+    if a.ndim > 2 and cols is not None:
+        out_shape = (rows, cols) + a.shape[2:]
+    out = np.zeros(out_shape, dtype=a.dtype)
+    sl = tuple(slice(0, s) for s in a.shape)
+    out[sl] = a
+    return out
+
+
+def pad_level(lv: LevelTensors, n_nodes: int, n_mess: int, n_nb: int,
+              n_cls: Optional[int] = None, batch_size: Optional[int] = None) -> LevelTensors:
+    old_mess = lv.fmess.shape[0]
+    fnode = _pad2(lv.fnode, n_nodes)
+    fmess = _pad2(lv.fmess, n_mess)
+    agraph = _pad2(lv.agraph, n_nodes, n_nb)
+    bgraph = _pad2(lv.bgraph, n_mess, n_nb)
+    out = LevelTensors(fnode=fnode, fmess=fmess, agraph=agraph, bgraph=bgraph,
+                       scope=lv.scope.copy())
+    if lv.cgraph is not None:
+        out.cgraph = _pad2(lv.cgraph, n_nodes, n_cls or lv.cgraph.shape[1])
+    if lv.agraph_dec is not None:
+        agraph_dec = _pad2(lv.agraph_dec, n_nodes, n_nb)
+        bgraph_dec = _pad2(lv.bgraph_dec, n_mess, n_nb)
+        # re-base virtual root-message slots past the padded message table
+        shift = n_mess - old_mess
+        agraph_dec[agraph_dec >= old_mess] += shift
+        bgraph_dec[bgraph_dec >= old_mess] += shift
+        out.agraph_dec = agraph_dec
+        out.bgraph_dec = bgraph_dec
+    return out
+
+
+def pad_plan(plan: DecodePlan, n_steps: int, max_cls_bucket: int) -> DecodePlan:
+    def padT(a):
+        out = np.zeros((n_steps,) + a.shape[1:], dtype=a.dtype)
+        out[:a.shape[0]] = a
+        return out
+    return DecodePlan(
+        active=padT(plan.active), xid=padT(plan.xid), mess=padT(plan.mess),
+        tlab=padT(plan.tlab), has_cls=padT(plan.has_cls), clab=padT(plan.clab),
+        ilab=padT(plan.ilab), has_assm=padT(plan.has_assm),
+        assm_nc=padT(plan.assm_nc), assm_icls=padT(plan.assm_icls),
+        assm_n_icls=np.maximum(padT(plan.assm_n_icls), 1),
+        assm_nth=padT(plan.assm_nth),
+        root_clab=plan.root_clab, root_ilab=plan.root_ilab,
+        max_cls_size=max(plan.max_cls_size, max_cls_bucket))
+
+
+def pad_batch(mb: MolGraphBatch) -> MolGraphBatch:
+    """Pad a MolGraphBatch to bucket shapes (pure numpy, host-side)."""
+    t, g, p = mb.tree, mb.graph, mb.plan
+    nt = _round_up(t.fnode.shape[0], minimum=32)
+    mt = _round_up(t.fmess.shape[0], minimum=64)
+    at = _round_up(max(t.agraph.shape[1], t.bgraph.shape[1]), minimum=6)
+    ct = _round_up(t.cgraph.shape[1], minimum=8)
+    ng = _round_up(g.fnode.shape[0], minimum=64)
+    mg = _round_up(g.fmess.shape[0], minimum=128)
+    ag = _round_up(max(g.agraph.shape[1], g.bgraph.shape[1]), minimum=6)
+    ts = _round_up(p.active.shape[0], minimum=16)
+    tree = pad_level(t, nt, mt, at, ct)
+    graph = pad_level(g, ng, mg, ag)
+    plan = pad_plan(p, ts, _round_up(p.max_cls_size, minimum=8))
+    return MolGraphBatch(smiles=mb.smiles, tree=tree, graph=graph, plan=plan,
+                         homos=mb.homos, lumos=mb.lumos)
+
+
+def level_to_dict(lv: LevelTensors) -> Dict[str, np.ndarray]:
+    d = {'fnode': lv.fnode, 'fmess': lv.fmess, 'agraph': lv.agraph,
+         'bgraph': lv.bgraph, 'scope': lv.scope}
+    if lv.cgraph is not None:
+        d['cgraph'] = lv.cgraph
+    if lv.agraph_dec is not None:
+        d['agraph_dec'] = lv.agraph_dec
+        d['bgraph_dec'] = lv.bgraph_dec
+    return d
+
+
+def plan_to_dict(plan: DecodePlan) -> Dict[str, np.ndarray]:
+    return {
+        'active': plan.active, 'xid': plan.xid.astype(np.int32),
+        'mess': plan.mess.astype(np.int32), 'tlab': plan.tlab,
+        'has_cls': plan.has_cls, 'clab': plan.clab, 'ilab': plan.ilab,
+        'has_assm': plan.has_assm, 'assm_nc': plan.assm_nc,
+        'assm_icls': plan.assm_icls, 'assm_n_icls': plan.assm_n_icls,
+        'assm_nth': plan.assm_nth, 'root_clab': plan.root_clab,
+        'root_ilab': plan.root_ilab,
+        'max_cls_size': np.asarray(plan.max_cls_size, dtype=np.int32),
+    }
+
+
+def to_model_batch(mb: MolGraphBatch, vocab_mask: np.ndarray,
+                   pad: bool = True) -> Dict:
+    """Assemble the dict consumed by the VAE models."""
+    if pad:
+        mb = pad_batch(mb)
+    return {
+        'tree': level_to_dict(mb.tree),
+        'graph': level_to_dict(mb.graph),
+        'plan': plan_to_dict(mb.plan),
+        'homos': mb.homos,
+        'lumos': mb.lumos,
+        'vocab_mask': vocab_mask,
+    }

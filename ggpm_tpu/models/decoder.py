@@ -1,0 +1,246 @@
+"""Autoregressive motif decoder — teacher-forced training path.
+
+TPU-first redesign of the reference ``MotifDecoder.sum_forward``
+(/root/reference/ggpm/decoder.py:776-899).  The reference walks the DFS
+generation order in a Python loop, re-encoding the partial junction tree with
+a "sparse" incremental encoder and accumulating per-sample prediction tuples
+in Python lists.  Here the entire walk is ONE ``jax.lax.scan``:
+
+* carry  = dense message-RNN state over ``[num_mess + B, H]`` buffers (the B
+  extra rows are the virtual root messages wired to the latent vector,
+  reference ``init_decoder_state``, decoder.py:531-552);
+* step   = batched RNN-cell application on the ≤B messages enabled at step t
+  (precomputed in the host-side DecodePlan) followed by a gather-based node
+  readout — no masks needed because un-enabled message rows are still zero;
+* outputs = per-step topology and motif-prediction feature vectors, from
+  which all losses are computed densely after the scan.
+
+Equivalences exploited (verified against the reference):
+* masking agraph/bgraph by the evolving ``emask`` (decoder.py:567-573) equals
+  gathering from a state buffer in which un-enabled rows are zero;
+* the reference's assembly scorer ``enum_attach`` for the motif decoder
+  (decoder.py:605-622) does not read graph state: every real candidate gets
+  the *same* score ``s`` and every zero-padded slot the same score ``p``, so
+  the padded cross-entropy with label 0 collapses to the closed form
+  ``log(nc·e^s + (maxc−nc)·e^p) − s`` and the symmetric accuracy to
+  ``s ≥ p`` — computed here without materialising candidate tensors.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..graph.mol_graph import MAX_POS
+from ..ops import gather_nd, nei_sum
+from .encoder import pos_onehot
+from .rnn import make_cell
+
+
+class PredictionMLP(nn.Module):
+    """hidden→out two-layer head used by topo/cls/icls predictors
+    (reference decoder.py:492-511)."""
+    hidden_size: int
+    out_size: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        x = nn.relu(nn.Dense(self.hidden_size)(x))
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return nn.Dense(self.out_size)(x)
+
+
+class MotifDecoder(nn.Module):
+    hvocab_size: int
+    ivocab_size: int
+    atom_vocab_size: int
+    rnn_type: str = 'LSTM'
+    embed_size: int = 250
+    hidden_size: int = 250
+    latent_size: int = 24
+    diterT: int = 1
+    dropout: float = 0.0
+    E_c: Optional[nn.Module] = None
+    E_i: Optional[nn.Module] = None
+
+    def setup(self):
+        if self.E_c is None:
+            self.E_c_mod = nn.Embed(self.hvocab_size, self.embed_size)
+        if self.E_i is None:
+            self.E_i_mod = nn.Embed(self.ivocab_size, self.embed_size)
+        self.drop = nn.Dropout(self.dropout)
+        self.rnn = make_cell(self.rnn_type, self.hidden_size, self.diterT)
+        self.W_node = nn.Dense(self.hidden_size)   # IncMPNEncoder.W_o
+        self.topoNN = PredictionMLP(hidden_size=self.hidden_size, out_size=1,
+                                    dropout=self.dropout)
+        self.clsNN = PredictionMLP(hidden_size=self.hidden_size,
+                                   out_size=self.hvocab_size, dropout=self.dropout)
+        self.iclsNN = PredictionMLP(hidden_size=self.hidden_size,
+                                    out_size=self.ivocab_size, dropout=self.dropout)
+        self.matchNN = nn.Dense(self.hidden_size)
+        self.W_assm = nn.Dense(self.latent_size)
+        if self.latent_size != self.hidden_size:
+            self.W_root = nn.Dense(self.hidden_size)
+
+    # -- shared helpers ----------------------------------------------------
+    def _ec(self):
+        return self.E_c if self.E_c is not None else self.E_c_mod
+
+    def _ei(self):
+        return self.E_i if self.E_i is not None else self.E_i_mod
+
+    def root_vecs_to_hidden(self, root_vecs):
+        if self.latent_size != self.hidden_size:
+            return self.W_root(root_vecs)
+        return root_vecs
+
+    def topo_logit(self, tree_vecs, batch_vecs, topo_vecs, deterministic=True):
+        ctx = batch_vecs
+        x = jnp.concatenate([topo_vecs, ctx], axis=-1)
+        return self.topoNN(x, deterministic)[..., 0]
+
+    def cls_logits(self, cls_vecs, ctx, deterministic=True):
+        x = jnp.concatenate([cls_vecs, ctx], axis=-1)
+        return self.clsNN(x, deterministic), self.iclsNN(x, deterministic)
+
+    def match_vec(self, icls_ids, n_icls, nth_child, deterministic=True):
+        """Sum of matchNN over the (1 or 2) anchor attachment embeddings
+        (reference ``enum_attach``, decoder.py:605-622; candidate-independent
+        for the motif decoder)."""
+        emb = self.drop(self._ei()(icls_ids), deterministic=deterministic)  # [..., 2, E]
+        pos = pos_onehot(nth_child)[..., None, :]
+        pos = jnp.broadcast_to(pos, emb.shape[:-1] + (MAX_POS,))
+        v = nn.relu(self.matchNN(jnp.concatenate([emb, pos], axis=-1)))
+        k_mask = (jnp.arange(2) < n_icls[..., None])[..., None]
+        return (v * k_mask).sum(axis=-2)
+
+    # -- teacher-forced training loss --------------------------------------
+    def __call__(self, tree: Dict[str, Any], plan: Dict[str, Any],
+                 root_vecs: jnp.ndarray, vocab_mask: jnp.ndarray,
+                 deterministic: bool = True):
+        """Returns (loss, metrics) for a batch; all shapes static."""
+        fnode, fmess = tree['fnode'], tree['fmess']
+        agraph, bgraph = tree['agraph_dec'], tree['bgraph_dec']
+        num_mess = fmess.shape[0]
+        batch_size = root_vecs.shape[0]
+
+        init_vecs = self.root_vecs_to_hidden(root_vecs)
+
+        # static per-batch embeddings (IncEncoder.embed_sub_tree equivalent;
+        # node labels are known under teacher forcing so the per-step scatter
+        # of the reference collapses to one precomputed table)
+        hnode_emb = self.drop(self._ec()(fnode[:, 0]), deterministic=deterministic)
+        hmess_input = jnp.concatenate(
+            [gather_nd(hnode_emb, fmess[:, 0]), pos_onehot(fmess[:, 2])], axis=-1)
+
+        state = self.rnn.init_state(num_mess, init_vecs)
+
+        if self.is_initializing():
+            # materialise scan-internal parameters outside lax.scan
+            nei0 = tuple(jnp.zeros((1, bgraph.shape[1], self.hidden_size))
+                         for _ in state)
+            self.rnn.cell(hmess_input[:1], nei0)
+            self.W_node(jnp.zeros((1, self.embed_size + self.hidden_size)))
+
+        xid, mess = plan['xid'], plan['mess']
+        active = plan['active']
+
+        def step(state, inputs):
+            rows, x_nodes, act = inputs
+            valid = (rows > 0)
+
+            def diter_body(_, st):
+                x = hmess_input[rows]
+                nei = tuple(gather_nd(s, bgraph)[rows] for s in st)
+                new_rows = self.rnn.cell(x, nei)
+                st = tuple(
+                    s.at[rows].set(jnp.where(valid[:, None], nr, s[rows])).at[0].set(0.0)
+                    for s, nr in zip(st, new_rows))
+                return st
+
+            state = jax.lax.fori_loop(0, self.diterT, diter_body, state)
+            h = self.rnn.hidden(state)
+            # node readout at the frontier (IncMPNEncoder.forward).  Dropout
+            # is applied deterministically inside the scan (per-step RNG
+            # threading is not worth the cost; heads/embeddings keep theirs).
+            nei_msg = nei_sum(h, agraph[x_nodes])
+            node_h = nn.relu(self.W_node(
+                jnp.concatenate([hnode_emb[x_nodes], nei_msg], axis=-1)))
+            cls_h = h[rows]
+            return state, (node_h, cls_h)
+
+        _, (topo_vecs, cls_vecs) = jax.lax.scan(step, state, (mess, xid, active))
+
+        T = topo_vecs.shape[0]
+        latent_b = jnp.broadcast_to(root_vecs[None], (T, batch_size, self.latent_size))
+
+        # --- topology loss (BCE-with-logits, sum over active steps) -------
+        topo_logits = self.topo_logit(None, latent_b, topo_vecs, deterministic)
+        tlab = plan['tlab'].astype(jnp.float32)
+        topo_bce = jnp.maximum(topo_logits, 0) - topo_logits * tlab + \
+            jnp.log1p(jnp.exp(-jnp.abs(topo_logits)))
+        act_f = active.astype(jnp.float32)
+        topo_loss = (topo_bce * act_f).sum()
+        topo_pred = (topo_logits >= 0).astype(jnp.int32)
+        topo_acc = ((topo_pred == plan['tlab']) * active).sum() / jnp.maximum(active.sum(), 1)
+
+        # --- motif (cls + icls) loss --------------------------------------
+        # events: the B roots (context vector = latent) + every expand step
+        root_ctx = root_vecs
+        root_cls_logits, root_icls_logits = self.cls_logits(init_vecs, root_ctx,
+                                                            deterministic)
+        step_cls_logits, step_icls_logits = self.cls_logits(
+            cls_vecs, latent_b, deterministic)
+
+        vmask = vocab_mask  # [hvocab, ivocab] additive log-mask
+        root_icls_logits = root_icls_logits + vmask[plan['root_clab']]
+        step_icls_logits = step_icls_logits + vmask[plan['clab']]
+
+        def ce(logits, labels):
+            logz = jax.nn.logsumexp(logits, axis=-1)
+            gold = jnp.take_along_axis(logits, labels[..., None], axis=-1)[..., 0]
+            return logz - gold
+
+        has_cls = plan['has_cls'].astype(jnp.float32)
+        cls_loss = ce(root_cls_logits, plan['root_clab']).sum() + \
+            (ce(step_cls_logits, plan['clab']) * has_cls).sum()
+        icls_loss = ce(root_icls_logits, plan['root_ilab']).sum() + \
+            (ce(step_icls_logits, plan['ilab']) * has_cls).sum()
+
+        n_cls = batch_size + has_cls.sum()
+        cls_correct = (jnp.argmax(root_cls_logits, -1) == plan['root_clab']).sum() + \
+            ((jnp.argmax(step_cls_logits, -1) == plan['clab']) * plan['has_cls']).sum()
+        icls_correct = (jnp.argmax(root_icls_logits, -1) == plan['root_ilab']).sum() + \
+            ((jnp.argmax(step_icls_logits, -1) == plan['ilab']) * plan['has_cls']).sum()
+        cls_acc = cls_correct / n_cls
+        icls_acc = icls_correct / n_cls
+
+        # --- assembly loss (closed form, see module docstring) ------------
+        mvec = self.match_vec(plan['assm_icls'], plan['assm_n_icls'],
+                              plan['assm_nth'], deterministic)        # [T,B,H]
+        s = (self.W_assm(mvec) * latent_b).sum(-1)                     # real-cand score
+        bias = self.W_assm(jnp.zeros((self.hidden_size,)))
+        p = (bias * root_vecs).sum(-1)[None, :]                        # pad-slot score
+        nc = plan['assm_nc'].astype(jnp.float32)
+        maxc = plan['max_cls_size'].astype(jnp.float32)
+        m = jnp.maximum(s, p)
+        lse = jnp.log(nc * jnp.exp(s - m) +
+                      jnp.maximum(maxc - nc, 0.0) * jnp.exp(p - m) + 1e-12) + m
+        has_assm = plan['has_assm'].astype(jnp.float32)
+        assm_loss = ((lse - s) * has_assm).sum()
+        assm_correct = (s >= p) | (nc >= maxc)
+        assm_acc = jnp.where(
+            has_assm.sum() > 0,
+            (assm_correct * plan['has_assm']).sum() / jnp.maximum(plan['has_assm'].sum(), 1),
+            1.0)
+
+        loss = (topo_loss + cls_loss + icls_loss + assm_loss) / batch_size
+        metrics = {
+            'Word': cls_acc, 'I-Word': icls_acc, 'Topo': topo_acc,
+            'Assm': assm_acc,
+        }
+        return loss, metrics

@@ -1,0 +1,162 @@
+"""Training loop: jitted train step, metric accumulation, checkpoints.
+
+Reference driver semantics: /root/reference/vae_train.py:60-111 (Adam +
+exponential decay + grad-clip 20, print every ``print_iter``, checkpoint per
+epoch/``save_iter``) and /root/reference/vae_fine_tune.py:76-152 (negative-
+loss circuit breaker, periodic validation, early stopping).
+
+TPU-first: the step is one jit (or pjit via ``ggpm_tpu.parallel``) with donated
+params/opt-state; batches arrive as fixed-shape padded numpy so each bucket
+signature compiles once.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.batching import to_model_batch
+from . import checkpoint as ckpt
+
+
+def make_train_step(model, optimizer, beta: float = 0.1,
+                    perturb_z: bool = True) -> Callable:
+    """Build a jitted (params, opt_state, batch, rng) → (params, opt_state,
+    metrics) step with donated state."""
+
+    def loss_fn(params, batch, rng):
+        loss, metrics, aux = model.apply(
+            params, batch, beta, rng, perturb_z, False,
+            rngs={'dropout': jax.random.fold_in(rng, 1)})
+        return loss, (metrics, aux)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, batch, rng):
+        (loss, (metrics, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch, rng)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        gnorm = optax_global_norm(grads)
+        metrics = dict(metrics, GNorm=gnorm)
+        return params, opt_state, metrics, aux
+
+    return step
+
+
+def optax_global_norm(tree) -> jnp.ndarray:
+    return jnp.sqrt(sum(jnp.sum(x * x) for x in jax.tree.leaves(tree)))
+
+
+def make_eval_step(model, beta: float = 0.1) -> Callable:
+    @jax.jit
+    def step(params, batch, rng):
+        loss, metrics, _ = model.apply(params, batch, beta, rng,
+                                       False, True)
+        return loss, metrics
+    return step
+
+
+class MetricAccumulator:
+    def __init__(self):
+        self.sums: Dict[str, float] = {}
+        self.count = 0
+
+    def add(self, metrics: Dict[str, Any]) -> None:
+        for k, v in metrics.items():
+            self.sums[k] = self.sums.get(k, 0.0) + float(v)
+        self.count += 1
+
+    def mean(self) -> Dict[str, float]:
+        if self.count == 0:
+            return {}
+        return {k: v / self.count for k, v in self.sums.items()}
+
+    def reset(self) -> None:
+        self.sums, self.count = {}, 0
+
+
+class Trainer:
+    """Orchestrates epochs over a DataFolder-style iterable of
+    ``MolGraphBatch`` shards."""
+
+    def __init__(self, model, optimizer, vocab_mask: np.ndarray,
+                 beta: float = 0.1, print_iter: int = 50,
+                 save_dir: Optional[str] = None, save_iter: int = -1,
+                 clip_break_count: int = 5, seed: int = 1):
+        self.model = model
+        self.optimizer = optimizer
+        self.vocab_mask = np.asarray(vocab_mask)
+        self.beta = beta
+        self.print_iter = print_iter
+        self.save_dir = save_dir
+        self.save_iter = save_iter
+        self.clip_break_count = clip_break_count
+        self.rng = jax.random.PRNGKey(seed)
+        self.step_fn = make_train_step(model, optimizer, beta)
+        self.eval_fn = make_eval_step(model, beta)
+        self.total_step = 0
+        self.n_clipped = 0
+        self.mols_seen = 0
+
+    def init(self, sample_batch) -> Tuple[Any, Any]:
+        batch = self._device_batch(sample_batch)
+        self.rng, init_rng = jax.random.split(self.rng)
+        params = self.model.init(
+            {'params': init_rng, 'dropout': init_rng}, batch, self.beta,
+            init_rng, True, False)
+        opt_state = self.optimizer.init(params)
+        return params, opt_state
+
+    def _device_batch(self, mb) -> Dict:
+        if not isinstance(mb, dict):
+            mb = to_model_batch(mb, self.vocab_mask, pad=False)
+        return jax.tree.map(jnp.asarray, mb)
+
+    def train_epoch(self, params, opt_state, data: Iterable,
+                    epoch: int = 0, log=print):
+        acc = MetricAccumulator()
+        t0 = time.time()
+        mols0 = self.mols_seen
+        for mb in data:
+            batch = self._device_batch(mb)
+            self.rng, step_rng = jax.random.split(self.rng)
+            params, opt_state, metrics, aux = self.step_fn(
+                params, opt_state, batch, step_rng)
+            self.total_step += 1
+            self.mols_seen += len(batch['plan']['root_clab'])
+            acc.add(metrics)
+            if bool(aux.get('clipped', False)):
+                self.n_clipped += 1
+                if self.n_clipped >= self.clip_break_count:
+                    log(f'[{self.total_step}] negative-loss clip count reached '
+                        f'{self.n_clipped}; aborting run (reference circuit '
+                        f'breaker, vae_fine_tune.py:92-96)')
+                    return params, opt_state, True
+            if self.total_step % self.print_iter == 0:
+                m = acc.mean()
+                dt = time.time() - t0
+                mps = (self.mols_seen - mols0) / max(dt, 1e-9)
+                log(f'[{self.total_step}] Beta: {self.beta:.3f}, '
+                    f'mols/s: {mps:.1f}, '
+                    + ', '.join(f'{k}: {v:.3f}' for k, v in sorted(m.items())))
+                acc.reset()
+            if self.save_iter > 0 and self.total_step % self.save_iter == 0 \
+                    and self.save_dir:
+                n_iter = self.total_step // self.save_iter - 1
+                ckpt.save_params(params, f'{self.save_dir}/model.{n_iter}')
+        return params, opt_state, False
+
+    def evaluate(self, params, data: Iterable) -> Dict[str, float]:
+        acc = MetricAccumulator()
+        for mb in data:
+            batch = self._device_batch(mb)
+            self.rng, r = jax.random.split(self.rng)
+            loss, metrics = self.eval_fn(params, batch, r)
+            acc.add(metrics)
+        return acc.mean()
