@@ -93,12 +93,15 @@ def is_anchor(mol: Mol, atom_idx: int, inter_atoms) -> bool:
     return False
 
 
-def get_anchor_smiles(mol: Mol, anchor: int, idxfunc=idx_of) -> str:
+def get_anchor_smiles(mol: Mol, anchor: int, by_index: bool = False) -> str:
     """Canonical kekulé SMILES with only the anchor atom mapped :1
-    (reference ``get_anchor_smiles``, chemutils.py:240-249)."""
+    (reference ``get_anchor_smiles``, chemutils.py:240-249).  ``by_index``
+    identifies the anchor by position instead of by stored atom map (the
+    decode-time variant, reference inc_graph.py:268)."""
     copy_mol = mol.clone()
     for i, a in enumerate(copy_mol.atoms):
-        a.map_num = 1 if idxfunc(mol.atoms[i]) == anchor else 0
+        key = i if by_index else idx_of(mol.atoms[i])
+        a.map_num = 1 if key == anchor else 0
     return get_smiles(copy_mol)
 
 

@@ -244,3 +244,48 @@ class MotifDecoder(nn.Module):
             'Assm': assm_acc,
         }
         return loss, metrics
+
+    # -- autoregressive decode step functions ------------------------------
+    # Jitted by ggpm_tpu.models.decode; fixed [B]-shaped inputs per step.
+    # These mirror the two IncEncoder calls per reference decode step
+    # (decoder.py:979, 1012) with the graph bookkeeping held host-side.
+
+    def dec_init_state(self, num_rows: int, root_vecs: jnp.ndarray):
+        """Zero message state with the latent wired into rows 1..B (the
+        super-root→root edges; reference decoder.py:954-958)."""
+        init = self.root_vecs_to_hidden(root_vecs)
+        state = self.rnn.init_state(num_rows)
+        b = init.shape[0]
+        h = state[0].at[1:b + 1].set(init)
+        return (h,) + tuple(state[1:])
+
+    def dec_update(self, state, rows, src_clab, pos, bgraph_rows):
+        """Compute messages for newly added edges (sparse_forward on the
+        ≤B rows enabled this step)."""
+        x = jnp.concatenate(
+            [self._ec()(src_clab), pos_onehot(pos)], axis=-1)
+        valid = rows > 0
+        for _ in range(self.diterT):
+            nei = tuple(s[bgraph_rows] for s in state)
+            new = self.rnn.cell(x, nei)
+            state = tuple(
+                s.at[rows].set(jnp.where(valid[:, None], nr, s[rows])).at[0].set(0.0)
+                for s, nr in zip(state, new))
+        return state
+
+    def dec_topo(self, state, v_clab, agraph_rows, root_vecs):
+        """Frontier-node readout + topology logit (expand vs backtrack)."""
+        h = self.rnn.hidden(state)
+        nei = h[agraph_rows].sum(axis=-2)
+        node_h = nn.relu(self.W_node(
+            jnp.concatenate([self._ec()(v_clab), nei], axis=-1)))
+        return self.topo_logit(None, root_vecs, node_h)
+
+    def dec_cls(self, state, rows, root_vecs):
+        """Motif/attachment logits from the new expand messages."""
+        h = self.rnn.hidden(state)
+        return self.cls_logits(h[rows], root_vecs)
+
+    def dec_root_cls(self, root_vecs):
+        init = self.root_vecs_to_hidden(root_vecs)
+        return self.cls_logits(init, root_vecs)

@@ -93,6 +93,9 @@ class PropertyVAE(nn.Module):
         self.R_mean = nn.Dense(c.latent_size)
         self.R_var = nn.Dense(c.latent_size)
 
+    def _decoder(self):
+        return self.decoder
+
     # -- pieces ------------------------------------------------------------
     def rsample(self, z_vecs, rng: Optional[jax.Array], perturb: bool = True):
         """Reparameterised sampling with ``z_log_var = −|W_var z|``
@@ -148,6 +151,9 @@ class PropOptVAE(nn.Module):
         if c.loss_scaling:
             self.loss_weigh = LossWeigh()
         self.half_latent = c.latent_size // 2
+
+    def _decoder(self):
+        return self.vae.decoder
 
     def rsample(self, z_vecs, rng, perturb=True):
         return self.vae.rsample(z_vecs, rng, perturb)
@@ -227,6 +233,9 @@ class HierPropertyVAE(nn.Module):
         self.R_mean = nn.Dense(c.latent_size)
         self.R_var = nn.Dense(c.latent_size)
 
+    def _decoder(self):
+        return self.decoder
+
     def rsample(self, z_vecs, rng, perturb=True):
         batch_size = z_vecs.shape[0]
         z_mean = self.R_mean(z_vecs)
@@ -276,6 +285,9 @@ class HierPropOptVAE(nn.Module):
         if c.loss_scaling:
             self.loss_weigh = LossWeigh()
         self.half_latent = c.latent_size // 2
+
+    def _decoder(self):
+        return self.hier.decoder
 
     def rsample(self, z_vecs, rng, perturb=True):
         return self.hier.rsample(z_vecs, rng, perturb)
