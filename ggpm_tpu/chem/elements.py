@@ -72,3 +72,11 @@ def implicit_h_count(symbol: str, charge: int, bonded: float) -> int:
         if v >= bonded:
             return int(v - bonded)
     return 0
+
+
+# Average atomic masses (for molecular-weight statistics).
+ATOMIC_MASS = {
+    '*': 0.0, 'H': 1.008, 'B': 10.811, 'C': 12.011, 'N': 14.007, 'O': 15.999,
+    'F': 18.998, 'Si': 28.086, 'P': 30.974, 'S': 32.065, 'Cl': 35.453,
+    'Se': 78.971, 'Br': 79.904, 'I': 126.904,
+}

@@ -1,0 +1,90 @@
+"""Pretraining driver (reference /root/reference/vae_train.py).
+
+Usage:
+    python -m ggpm_tpu.cli.vae_train --path-to-config configs.json \
+        --model-type prop [--data-csv data.csv | --data shards_dir]
+
+Either streams preprocessed pickle shards (``configs.data`` directory, like
+the reference DataFolder path) or tensorizes a CSV on the fly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from ..configs import Configs
+from ..data.batching import pad_batch
+from ..data.dataset import DataFolder, MoleculeDataset, prune_to_vocab
+from ..graph.mol_graph import tensorize
+from ..graph.vocab import common_atom_vocab
+from ..train import checkpoint as ckpt
+from ..train.loop import Trainer
+from ..train.optim import make_optimizer
+from .common import init_params, maybe_load_pretrained, read_csv_data, setup_model
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--path-to-config', required=True)
+    parser.add_argument('--model-type', required=True)
+    parser.add_argument('--data-csv', default=None,
+                        help='tensorize this CSV instead of reading shards')
+    args = parser.parse_args(argv)
+
+    configs = Configs(path=args.path_to_config)
+    model, vocab, mcfg = setup_model(configs, args.model_type)
+    configs.to_json(os.path.join(configs.save_dir, 'configs.json'))
+
+    batch_size = configs.get('batch_size', 20)
+
+    def data_epoch():
+        if args.data_csv:
+            data = prune_to_vocab(read_csv_data(args.data_csv), vocab)
+            batches = [data[i:i + batch_size]
+                       for i in range(0, len(data), batch_size)]
+            for b in batches:
+                if len(b) == batch_size:
+                    yield pad_batch(tensorize(b, vocab, common_atom_vocab))
+        else:
+            yield from DataFolder(configs.data, batch_size)
+
+    first = next(iter(data_epoch()))
+    steps_per_epoch = max(
+        sum(1 for _ in data_epoch()) if args.data_csv else 1000, 1)
+
+    optimizer = make_optimizer(
+        lr=configs.get('lr', 1e-3), clip_norm=configs.get('clip_norm', 20.0),
+        anneal_rate=configs.get('anneal_rate', 0.9),
+        steps_per_epoch=steps_per_epoch)
+    trainer = Trainer(model, optimizer, vocab.mask,
+                      beta=configs.get('beta', 0.1),
+                      print_iter=configs.get('print_iter', 50),
+                      save_dir=configs.save_dir,
+                      save_iter=configs.get('save_iter', -1),
+                      seed=configs.get('seed', 1))
+    params, opt_state = trainer.init(first)
+    params, loaded = maybe_load_pretrained(
+        params, configs, model, vocab, trainer._device_batch(first))
+
+    load_epoch = configs.get('load_epoch', -1)
+    if load_epoch >= 0:
+        params = ckpt.load_params(
+            params, os.path.join(configs.save_dir, f'model.{load_epoch}'))
+
+    n_params = sum(x.size for x in __import__('jax').tree.leaves(params))
+    print('Model #Params: %dK' % (n_params / 1000,))
+
+    for epoch in range(load_epoch + 1, configs.get('epoch', 20)):
+        params, opt_state, stop = trainer.train_epoch(
+            params, opt_state, data_epoch(), epoch)
+        if configs.get('save_iter', -1) == -1:
+            ckpt.save_params(params,
+                             os.path.join(configs.save_dir, f'model.{epoch}'))
+        if stop:
+            break
+    return params
+
+
+if __name__ == '__main__':
+    main()

@@ -19,7 +19,7 @@ from typing import Any, Callable, Dict, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -45,33 +45,33 @@ def stack_batches(batches: Sequence[Dict]) -> Dict:
 
 def make_dp_train_step(model, optimizer, mesh: Mesh, beta: float = 0.1,
                        perturb_z: bool = True, axis: str = 'data') -> Callable:
-    """Data-parallel step: per-device loss/grads on the local batch, gradient
-    ``psum``-mean over ICI, replicated update."""
+    """Data-parallel step.
 
-    def loss_fn(params, batch, rng):
-        loss, metrics, aux = model.apply(
-            params, batch, beta, rng, perturb_z, False,
-            rngs={'dropout': jax.random.fold_in(rng, 1)})
-        return loss, (metrics, aux)
+    The per-device loss is ``pmean``-reduced *inside* ``shard_map`` and the
+    gradient is taken *through* it: the transpose of the replicated-params
+    input then inserts exactly one cross-device ``psum`` of cotangents, which
+    combined with the 1/D of the pmean yields the mean gradient.  (Taking
+    ``jax.grad`` inside the body would double-count — the vma transpose
+    already psums cotangents of unvarying inputs.)  The optimizer update runs
+    replicated outside.
+    """
+    rep = P()
+    dev = P(axis)
 
-    def device_step(params, opt_state, batch, rng):
+    def local_loss(params, batch, rng):
         # one device's shard: strip the leading singleton device axis
         local = jax.tree.map(lambda x: x[0], {k: v for k, v in batch.items()
                                               if k != 'vocab_mask'})
         local['vocab_mask'] = batch['vocab_mask']
         idx = jax.lax.axis_index(axis)
         rng = jax.random.fold_in(rng, idx)
-        (loss, (metrics, aux)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, local, rng)
-        grads = jax.lax.pmean(grads, axis)
+        loss, metrics, aux = model.apply(
+            params, local, beta, rng, perturb_z, False,
+            rngs={'dropout': jax.random.fold_in(rng, 1)})
+        loss = jax.lax.pmean(loss, axis)
         metrics = jax.tree.map(lambda x: jax.lax.pmean(x, axis), metrics)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = jax.tree.map(lambda p, u: p + u, params, updates)
         clipped = jax.lax.pmax(aux['clipped'].astype(jnp.int32), axis)
-        return params, opt_state, metrics, {'clipped': clipped}
-
-    rep = P()
-    dev = P(axis)
+        return loss, (metrics, {'clipped': clipped})
 
     def batch_spec(batch):
         return {k: (rep if k == 'vocab_mask' else jax.tree.map(lambda _: dev, v))
@@ -79,12 +79,15 @@ def make_dp_train_step(model, optimizer, mesh: Mesh, beta: float = 0.1,
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, rng):
-        fn = shard_map(
-            device_step, mesh=mesh,
-            in_specs=(rep, rep, batch_spec(batch), rep),
-            out_specs=(rep, rep, rep, rep),
-            check_rep=False)
-        return fn(params, opt_state, batch, rng)
+        sharded = shard_map(
+            local_loss, mesh=mesh,
+            in_specs=(rep, batch_spec(batch), rep),
+            out_specs=(rep, (rep, rep)))
+        (loss, (metrics, aux)), grads = jax.value_and_grad(
+            sharded, has_aux=True)(params, batch, rng)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, metrics, aux
 
     return step
 

@@ -90,12 +90,15 @@ def copy_encoder(target_params, source_params):
         kstr = '/'.join(map(str, key))
         v = None
         if 'encoder' in kstr:
-            v = s_by_str.get(kstr)
-            if v is None:
-                # cross-class: PropOptVAE nests PropertyVAE under 'vae'
-                alt = kstr.replace('vae/', '', 1) if kstr.startswith('vae/') \
-                    else 'vae/' + kstr
-                v = s_by_str.get(alt)
+            # cross-class nesting: PropOptVAE wraps PropertyVAE under 'vae/',
+            # HierPropOptVAE under 'hier/' — try stripped and added prefixes
+            for cand in (kstr, kstr.replace('vae/', '', 1),
+                         kstr.replace('hier/', '', 1),
+                         kstr.replace('params/', 'params/vae/', 1),
+                         kstr.replace('params/', 'params/hier/', 1)):
+                v = s_by_str.get(cand)
+                if v is not None:
+                    break
         if v is not None and np.shape(v) == np.shape(tval):
             out[key] = v
             copied += 1

@@ -1,0 +1,96 @@
+"""Autoregressive decode tests: validity, reconstruction, sampling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ggpm_tpu.chem import canon_smiles, get_mol
+from ggpm_tpu.data.batching import to_model_batch
+from ggpm_tpu.graph.vocab import common_atom_vocab
+from ggpm_tpu.models.decode import decode_motif, hier_topk
+
+
+def test_reconstruction_validity(tiny_model_setup):
+    st = tiny_model_setup
+    model, params, vocab = st['model'], st['params'], st['vocab']
+    mb = st['batches'][0]
+    batch = jax.tree.map(jnp.asarray, to_model_batch(mb, vocab.mask, pad=False))
+    z, _ = model.apply(params, batch['tree'],
+                       method=lambda m, tree: m.encode_latent(tree, perturb=False))
+    results, smiles = decode_motif(model, params, vocab, common_atom_vocab,
+                                   np.asarray(z), greedy=True,
+                                   max_decode_step=60)
+    assert len(smiles) == len(mb.smiles)
+    valid = [s for s in smiles if s and get_mol(s) is not None]
+    assert len(valid) >= len(smiles) * 0.7
+    # at least one exact reconstruction on the training molecules
+    matches = sum(1 for o, d in zip(mb.smiles, smiles)
+                  if d and canon_smiles(o) == canon_smiles(d))
+    assert matches >= 1
+    # per-step logs exist
+    assert results[0][0]['root']
+
+
+def test_prior_sampling(tiny_model_setup):
+    st = tiny_model_setup
+    rng = np.random.default_rng(0)
+    z = rng.normal(size=(6, st['cfg'].latent_size)).astype(np.float32)
+    _, smiles = decode_motif(st['model'], st['params'], st['vocab'],
+                             common_atom_vocab, z, greedy=True,
+                             max_decode_step=40, log_steps=False)
+    assert any(s is not None for s in smiles)
+
+
+def test_nongreedy_sampling(tiny_model_setup):
+    st = tiny_model_setup
+    z = np.zeros((4, st['cfg'].latent_size), dtype=np.float32)
+    _, s1 = decode_motif(st['model'], st['params'], st['vocab'],
+                         common_atom_vocab, z, greedy=False,
+                         max_decode_step=30,
+                         rng=np.random.default_rng(1), log_steps=False)
+    _, s2 = decode_motif(st['model'], st['params'], st['vocab'],
+                         common_atom_vocab, z, greedy=False,
+                         max_decode_step=30,
+                         rng=np.random.default_rng(2), log_steps=False)
+    assert len(s1) == len(s2) == 4
+
+
+def test_hier_topk_agrees_with_bruteforce():
+    rng = np.random.default_rng(0)
+    b, hv, iv, k = 3, 7, 11, 3
+    cls = rng.normal(size=(b, hv)).astype(np.float32)
+    icls = rng.normal(size=(b, iv)).astype(np.float32)
+    mask = np.where(rng.random((hv, iv)) < 0.4, 0.0, -1000.0).astype(np.float32)
+    mask[:, 0] = 0.0  # every row has at least one allowed icls
+    scores, cls_k, icls_k = jax.jit(
+        lambda c, i: hier_topk(c, i, jnp.asarray(mask), k))(cls, icls)
+    scores = np.asarray(scores)
+
+    # brute force joint score over (cls, icls)
+    def lsm(x, axis=-1):
+        x = x - x.max(axis=axis, keepdims=True)
+        return x - np.log(np.exp(x).sum(axis=axis, keepdims=True))
+    cl = lsm(cls)
+    for bi in range(b):
+        joint = []
+        order = np.argsort(-cl[bi])[:k]
+        for c in order:
+            il = lsm(icls[bi] + mask[c])
+            for i in np.argsort(-il)[:k]:
+                joint.append(cl[bi, c] + il[i])
+        best = sorted(joint, reverse=True)[:k]
+        np.testing.assert_allclose(scores[bi], best, rtol=1e-5)
+
+
+def test_inc_graph_assembly():
+    """IncGraph grows a molecule motif-by-motif with validity checks."""
+    from ggpm_tpu.models.inc_graph import IncGraph
+    g = IncGraph(common_atom_vocab, batch_size=1, max_nodes=50, max_edges=80)
+    atoms, bonds, attached = g.add_mol(0, 'C1=CC=CC=C1', [], 0)
+    assert len(atoms) == 6
+    smiles = g.get_smiles()
+    assert canon_smiles(smiles[0]) == canon_smiles('c1ccccc1')
+    # try an invalid over-valent attach: 5th bond on a ring carbon is rejected
+    # by sanitize in try_add_mol
+    ok = g.try_add_mol(0, 'C', [])  # singleton with no attachment is fine
+    assert isinstance(ok, (bool, np.bool_))

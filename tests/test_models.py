@@ -1,0 +1,104 @@
+"""Model tests: forward/grad health, determinism, all four registry models."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ggpm_tpu.data.batching import to_model_batch
+from ggpm_tpu.graph.mol_graph import MolGraph, tensorize
+from ggpm_tpu.graph.vocab import common_atom_vocab
+from ggpm_tpu.models.vae import (HierPropertyVAE, HierPropOptVAE, ModelConfig,
+                                 OPVNet, PropertyVAE, PropOptVAE)
+
+
+@pytest.fixture(scope='module')
+def batch_and_cfg(golden_smiles, golden_vocab):
+    MolGraph.FRAGMENTS = set()
+    mb = tensorize([[s, -5.0, 1.0] for s in golden_smiles[:6]],
+                   golden_vocab, common_atom_vocab)
+    batch = jax.tree.map(jnp.asarray,
+                         to_model_batch(mb, golden_vocab.mask, pad=False))
+    cfg = ModelConfig(hvocab_size=golden_vocab.size()[0],
+                      ivocab_size=golden_vocab.size()[1],
+                      hidden_size=48, embed_size=48, latent_size=24,
+                      depthT=3, depthG=3, diterT=1)
+    return batch, cfg
+
+
+@pytest.mark.parametrize('name', ['prop', 'prop-opt', 'hier-prop', 'hier-prop-opt'])
+def test_all_models_forward_and_grad(name, batch_and_cfg):
+    batch, cfg = batch_and_cfg
+    model = OPVNet.get_model(name)(cfg=cfg)
+    rng = jax.random.PRNGKey(0)
+    params = model.init({'params': rng, 'dropout': rng}, batch, 0.1, rng, True, True)
+    loss, metrics, aux = model.apply(params, batch, 0.1, rng, True, True)
+    assert np.isfinite(float(loss))
+    for k in ('Word', 'I-Word', 'Topo', 'Assm', 'Loss', 'KL'):
+        assert k in metrics
+
+    g = jax.grad(lambda p: model.apply(p, batch, 0.1, rng, True, True)[0])(params)
+    gn = sum(float((x ** 2).sum()) for x in jax.tree.leaves(g))
+    assert np.isfinite(gn) and gn > 0
+
+
+def test_registry_unknown():
+    with pytest.raises(ValueError):
+        OPVNet.get_model('nope')
+
+
+def test_forward_deterministic(batch_and_cfg):
+    batch, cfg = batch_and_cfg
+    model = PropertyVAE(cfg=cfg)
+    rng = jax.random.PRNGKey(0)
+    params = model.init({'params': rng, 'dropout': rng}, batch, 0.1, rng, True, True)
+    l1, _, _ = model.apply(params, batch, 0.1, rng, False, True)
+    l2, _, _ = model.apply(params, batch, 0.1, rng, False, True)
+    assert float(l1) == float(l2)
+
+
+def test_perturb_changes_loss(batch_and_cfg):
+    batch, cfg = batch_and_cfg
+    model = PropertyVAE(cfg=cfg)
+    rng = jax.random.PRNGKey(0)
+    params = model.init({'params': rng, 'dropout': rng}, batch, 0.1, rng, True, True)
+    l1, _, _ = model.apply(params, batch, 0.1, jax.random.PRNGKey(1), True, True)
+    l2, _, _ = model.apply(params, batch, 0.1, jax.random.PRNGKey(2), True, True)
+    assert float(l1) != float(l2)
+
+
+def test_tie_embedding_shares_params(batch_and_cfg):
+    batch, cfg = batch_and_cfg
+    import copy
+    cfg_tied = copy.copy(cfg)
+    cfg_tied.tie_embedding = True
+    cfg_untied = copy.copy(cfg)
+    cfg_untied.tie_embedding = False
+    rng = jax.random.PRNGKey(0)
+    p_tied = PropertyVAE(cfg=cfg_tied).init(
+        {'params': rng, 'dropout': rng}, batch, 0.1, rng, True, True)
+    p_untied = PropertyVAE(cfg=cfg_untied).init(
+        {'params': rng, 'dropout': rng}, batch, 0.1, rng, True, True)
+    n_tied = sum(x.size for x in jax.tree.leaves(p_tied))
+    n_untied = sum(x.size for x in jax.tree.leaves(p_untied))
+    assert n_untied > n_tied  # untied has separate E_c/E_i per side
+
+
+def test_property_heads(batch_and_cfg):
+    batch, cfg = batch_and_cfg
+    model = PropOptVAE(cfg=cfg)
+    rng = jax.random.PRNGKey(0)
+    params = model.init({'params': rng, 'dropout': rng}, batch, 0.1, rng, True, True)
+    z = jnp.zeros((4, cfg.latent_size))
+    h, l = model.apply(params, z, method=lambda m, zz: m.predict_properties(zz))
+    assert h.shape == (4,) and l.shape == (4,)
+
+
+def test_loss_weigh():
+    from ggpm_tpu.models.heads import LossWeigh
+    lw = LossWeigh()
+    rng = jax.random.PRNGKey(0)
+    params = lw.init(rng, jnp.array(1.0), jnp.array(2.0), jnp.array(3.0))
+    r, h, l = lw.apply(params, jnp.array(1.0), jnp.array(2.0), jnp.array(3.0))
+    # with zero log-vars the scaled losses equal the inputs
+    assert float(r) == 1.0 and float(h) == 2.0 and float(l) == 3.0

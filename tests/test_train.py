@@ -1,0 +1,112 @@
+"""Training-stack tests: loss decreases, checkpoint round-trip, weight
+transfer, early stopping, multi-optimizer."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ggpm_tpu.train import checkpoint as ckpt
+from ggpm_tpu.train.optim import (default_group_fn, make_multi_optimizer,
+                                  make_optimizer)
+
+
+def test_loss_decreases(tiny_model_setup):
+    st = tiny_model_setup
+    m = st['trainer'].evaluate(st['params'], st['batches'])
+    # after the fixture's short training run, loss must be well below the
+    # untrained level (~70 on this data)
+    assert m['Loss'] < 25, m
+
+
+def test_checkpoint_roundtrip(tiny_model_setup, tmp_path):
+    st = tiny_model_setup
+    path = str(tmp_path / 'model.ckpt')
+    ckpt.save_params(st['params'], path)
+    loaded = ckpt.load_params(st['params'], path)
+    for a, b in zip(jax.tree.leaves(st['params']), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_copy_encoder_transfer(tiny_model_setup):
+    """Pretrain→fine-tune: PropOptVAE receives PropertyVAE encoder weights
+    (reference copy_encoder, nnutils.py:45-62)."""
+    from ggpm_tpu.data.batching import to_model_batch
+    from ggpm_tpu.models.vae import PropOptVAE
+    st = tiny_model_setup
+    batch = jax.tree.map(jnp.asarray, to_model_batch(
+        st['batches'][0], st['vocab'].mask, pad=False))
+    rng = jax.random.PRNGKey(7)
+    ft_model = PropOptVAE(cfg=st['cfg'])
+    ft_params = ft_model.init({'params': rng, 'dropout': rng}, batch,
+                              0.1, rng, True, True)
+    merged, n = ckpt.copy_encoder(ft_params, st['params'])
+    assert n > 0
+    # encoder weights equal source, property head untouched
+    flat_src = ckpt._flat(st['params'])
+    flat_dst = ckpt._flat(merged)
+    src_by_str = {'/'.join(map(str, k)): v for k, v in flat_src.items()}
+    hits = 0
+    for k, v in flat_dst.items():
+        ks = '/'.join(map(str, k))
+        if 'encoder' in ks:
+            src = src_by_str.get(ks.replace('vae/', '', 1))
+            if src is not None and np.shape(src) == np.shape(v):
+                np.testing.assert_array_equal(np.asarray(v), np.asarray(src))
+                hits += 1
+    assert hits > 0
+
+
+def test_copy_matching_full_transfer(tiny_model_setup):
+    from ggpm_tpu.data.batching import to_model_batch
+    from ggpm_tpu.models.vae import PropOptVAE
+    st = tiny_model_setup
+    batch = jax.tree.map(jnp.asarray, to_model_batch(
+        st['batches'][0], st['vocab'].mask, pad=False))
+    rng = jax.random.PRNGKey(7)
+    ft_model = PropOptVAE(cfg=st['cfg'])
+    ft_params = ft_model.init({'params': rng, 'dropout': rng}, batch,
+                              0.1, rng, True, True)
+    merged, n = ckpt.copy_matching(ft_params, st['params'],
+                                   prefix_map={'params/vae/': 'params/'})
+    n_src = len(ckpt._flat(st['params']))
+    assert n >= n_src * 0.9  # nearly all pretrain weights land
+
+
+def test_early_stopping(tmp_path):
+    es = ckpt.EarlyStopping(patience=2, path=str(tmp_path / 'best'))
+    params = {'w': np.zeros(3)}
+    for loss in [1.0, 0.5, 0.6, 0.7, 0.8]:
+        es(loss, params)
+    assert es.early_stop
+    assert os.path.exists(str(tmp_path / 'best'))
+    assert es.val_loss_min == 0.5
+
+
+def test_multi_optimizer_groups():
+    params = {'params': {'vae': {'encoder': {'w': jnp.ones(2)},
+                                 'decoder': {'w': jnp.ones(2)}},
+                         'property_optim': {'homo_linear': {'w': jnp.ones(2)},
+                                            'lumo_linear': {'w': jnp.ones(2)}}}}
+    opt = make_multi_optimizer(default_group_fn,
+                               {'encoder': 1e-3, 'decoder': 1e-2,
+                                'homo': 1e-4, 'lumo': 1e-4},
+                               steps_per_epoch=10)
+    state = opt.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = opt.update(grads, state, params)
+    flat = jax.tree_util.tree_flatten_with_path(updates)[0]
+    mags = {jax.tree_util.keystr(p): float(np.abs(v).mean()) for p, v in flat}
+    enc = next(v for k, v in mags.items() if 'encoder' in k)
+    dec = next(v for k, v in mags.items() if 'decoder' in k)
+    assert dec > enc * 5  # decoder lr 10× encoder lr
+
+
+def test_lr_schedule():
+    from ggpm_tpu.train.optim import make_lr_schedule
+    sched = make_lr_schedule(1e-3, 0.9, steps_per_epoch=100)
+    assert sched(0) == pytest.approx(1e-3)
+    assert sched(100) == pytest.approx(9e-4)
+    assert sched(250) == pytest.approx(1e-3 * 0.81)
