@@ -68,6 +68,9 @@ def pad_plan(plan: DecodePlan, n_steps: int, max_cls_bucket: int) -> DecodePlan:
         out = np.zeros((n_steps,) + a.shape[1:], dtype=a.dtype)
         out[:a.shape[0]] = a
         return out
+    def padT_opt(a):
+        return None if a is None else padT(a)
+
     return DecodePlan(
         active=padT(plan.active), xid=padT(plan.xid), mess=padT(plan.mess),
         tlab=padT(plan.tlab), has_cls=padT(plan.has_cls), clab=padT(plan.clab),
@@ -76,7 +79,11 @@ def pad_plan(plan: DecodePlan, n_steps: int, max_cls_bucket: int) -> DecodePlan:
         assm_n_icls=np.maximum(padT(plan.assm_n_icls), 1),
         assm_nth=padT(plan.assm_nth),
         root_clab=plan.root_clab, root_ilab=plan.root_ilab,
-        max_cls_size=max(plan.max_cls_size, max_cls_bucket))
+        max_cls_size=max(plan.max_cls_size, max_cls_bucket),
+        gstep_nodes=padT_opt(plan.gstep_nodes),
+        gstep_mess=padT_opt(plan.gstep_mess),
+        assm_cands=padT_opt(plan.assm_cands),
+        assm_cand_ok=padT_opt(plan.assm_cand_ok))
 
 
 def pad_batch(mb: MolGraphBatch) -> MolGraphBatch:
@@ -118,6 +125,9 @@ def plan_to_dict(plan: DecodePlan) -> Dict[str, np.ndarray]:
         'assm_nth': plan.assm_nth, 'root_clab': plan.root_clab,
         'root_ilab': plan.root_ilab,
         'max_cls_size': np.asarray(plan.max_cls_size, dtype=np.int32),
+        **({'gstep_nodes': plan.gstep_nodes, 'gstep_mess': plan.gstep_mess,
+            'assm_cands': plan.assm_cands, 'assm_cand_ok': plan.assm_cand_ok}
+           if plan.gstep_nodes is not None else {}),
     }
 
 

@@ -233,6 +233,15 @@ class DecodePlan:
     root_clab: np.ndarray    # [B]
     root_ilab: np.ndarray    # [B]
     max_cls_size: int        # padded candidate slots (2 * largest cluster)
+    # -- hierarchical-decoder extensions (atom-level teacher forcing;
+    #    reference HierMPNDecoder.forward, decoder.py:166-284) -------------
+    # Graph-level sparse updates at step t process the atoms/bonds unmasked
+    # at step t-1 (clusters of the previous step's target node; step 0 =
+    # root clusters).
+    gstep_nodes: Optional[np.ndarray] = None   # [T, B, KN] atom ids
+    gstep_mess: Optional[np.ndarray] = None    # [T, B, KE] atom-graph mess ids
+    assm_cands: Optional[np.ndarray] = None    # [T, B, MAXC, 2] cand atom ids
+    assm_cand_ok: Optional[np.ndarray] = None  # [T, B, MAXC] real-slot mask
 
 
 @dataclass
@@ -309,7 +318,7 @@ def tensorize(mol_batch, vocab, avocab) -> MolGraphBatch:
         hmols.append(MolGraph(x[0]))
 
     tree_tensors, tree_batch_g = tensorize_graph([h.mol_tree for h in hmols], vocab)
-    graph_tensors, _ = tensorize_graph([h.mol_graph for h in hmols], avocab)
+    graph_tensors, graph_batch_g = tensorize_graph([h.mol_graph for h in hmols], avocab)
     tree_scope = tree_tensors.scope
     graph_scope = graph_tensors.scope
 
@@ -319,8 +328,14 @@ def tensorize(mol_batch, vocab, avocab) -> MolGraphBatch:
     cgraph = np.zeros((n_tree, max_cls_size), dtype=np.int32)
     for v, attr in tree_batch_g.nodes(data=True):
         bid = attr['batch_id']
-        offset = graph_scope[bid][0]
-        cls = [x + offset for x in attr['cluster']]
+        offset = int(graph_scope[bid][0])
+        # write batch-offset attrs back (reference mol_graph.py:217-222)
+        attr['cluster'] = cls = [x + offset for x in attr['cluster']]
+        attr['inter_label'] = [(x + offset, y) for x, y in attr['inter_label']]
+        attr['assm_cands'] = [
+            (x + offset if isinstance(x, (int, np.integer))
+             else tuple(xx + offset for xx in x))
+            for x in attr['assm_cands']]
         cgraph[v, :len(cls)] = cls
     tree_tensors.cgraph = cgraph
 
@@ -340,7 +355,8 @@ def tensorize(mol_batch, vocab, avocab) -> MolGraphBatch:
     tree_tensors.agraph_dec = agraph_dec
     tree_tensors.bgraph_dec = bgraph_dec
 
-    plan = _build_plan(hmols, tree_batch_g, tree_scope, vocab)
+    plan = _build_plan(hmols, tree_batch_g, tree_scope, vocab,
+                       graph_batch_g, graph_scope)
     return MolGraphBatch(
         smiles=smiles_list, tree=tree_tensors, graph=graph_tensors, plan=plan,
         homos=np.asarray(homos, dtype=np.float32),
@@ -348,7 +364,8 @@ def tensorize(mol_batch, vocab, avocab) -> MolGraphBatch:
     )
 
 
-def _build_plan(hmols, tree_batch_g, tree_scope, vocab) -> DecodePlan:
+def _build_plan(hmols, tree_batch_g, tree_scope, vocab,
+                graph_batch_g=None, graph_scope=None) -> DecodePlan:
     batch_size = len(hmols)
     maxt = max(len(h.order) for h in hmols)
     shape = (maxt, batch_size)
@@ -369,10 +386,40 @@ def _build_plan(hmols, tree_batch_g, tree_scope, vocab) -> DecodePlan:
 
     max_cls_size = 2 * max(len(attr) for _, attr in tree_batch_g.nodes(data='cluster'))
 
+    # hier extensions: per-step cluster atoms / edges and assembly candidates
+    kn = max(len(attr) for _, attr in tree_batch_g.nodes(data='cluster'))
+    def _cluster_edges(cluster):
+        cset = set(cluster)
+        out = []
+        for u in cluster:
+            for v in graph_batch_g[u]:
+                if v in cset:
+                    out.append(graph_batch_g[u][v]['mess_idx'])
+        return out
+    ke = max((len(_cluster_edges(attr))
+              for _, attr in tree_batch_g.nodes(data='cluster')), default=1)
+    ke = max(ke, 1)
+    gstep_nodes = np.zeros(shape + (kn,), dtype=np.int32)
+    gstep_mess = np.zeros(shape + (ke,), dtype=np.int32)
+    assm_cands = np.zeros(shape + (max_cls_size, 2), dtype=np.int32)
+    assm_cand_ok = np.zeros(shape + (max_cls_size,), dtype=bool)
+
     for i, hmol in enumerate(hmols):
         offset = int(tree_scope[i][0])
+        goffset = int(graph_scope[i][0]) if graph_scope is not None else 0
         root = tree_batch_g.nodes[offset]
         root_clab[i], root_ilab[i] = vocab[root['label']]
+
+        def put_cluster(t, cluster, i=i):
+            # clusters carry batch offsets already (written back in tensorize)
+            atoms = list(cluster)[:kn]
+            gstep_nodes[t, i, :len(atoms)] = atoms
+            edges = _cluster_edges(atoms)[:ke]
+            gstep_mess[t, i, :len(edges)] = edges
+
+        # step 0 processes the root cluster (reference decoder.py:189-195);
+        # step t+1 processes the cluster unmasked at step t
+        put_cluster(0, root['cluster'])
 
         for t, (x, y, tl) in enumerate(hmol.order):
             active[t, i] = True
@@ -383,9 +430,13 @@ def _build_plan(hmols, tree_batch_g, tree_scope, vocab) -> DecodePlan:
                 continue
             gy = y + offset
             mess[t, i] = tree_batch_g[gx][gy]['mess_idx']
+            ynode = tree_batch_g.nodes[gy]
+            # the target's cluster is unmasked this step regardless of tlab
+            # (reference decoder.py:230) and processed at step t+1
+            if t + 1 < maxt:
+                put_cluster(t + 1, ynode['cluster'])
             if tl == 0:
                 continue
-            ynode = tree_batch_g.nodes[gy]
             has_cls[t, i] = True
             c, il = vocab[ynode['label']]
             clab[t, i], ilab[t, i] = c, il
@@ -394,16 +445,25 @@ def _build_plan(hmols, tree_batch_g, tree_scope, vocab) -> DecodePlan:
                 if len(cands) == 0:
                     continue
                 has_assm[t, i] = True
-                assm_nc[t, i] = len(cands)
+                assm_nc[t, i] = min(len(cands), max_cls_size)
                 cls_s = ynode['smiles']
                 icls_ids = [vocab[(cls_s, s)][1] for _, s in ynode['inter_label']]
                 assm_n_icls[t, i] = len(icls_ids)
                 for k, ic in enumerate(icls_ids[:2]):
                     assm_icls[t, i, k] = ic
                 assm_nth[t, i] = min(tree_batch_g[gy][gx]['label'], MAX_POS - 1)
+                for j, cand in enumerate(cands[:max_cls_size]):
+                    assm_cand_ok[t, i, j] = True
+                    if isinstance(cand, (tuple, list)):
+                        assm_cands[t, i, j, 0] = cand[0]
+                        assm_cands[t, i, j, 1] = cand[-1]
+                    else:
+                        assm_cands[t, i, j, 0] = cand
 
     return DecodePlan(
         active=active, xid=xid, mess=mess, tlab=tlab, has_cls=has_cls,
         clab=clab, ilab=ilab, has_assm=has_assm, assm_nc=assm_nc,
         assm_icls=assm_icls, assm_n_icls=assm_n_icls, assm_nth=assm_nth,
-        root_clab=root_clab, root_ilab=root_ilab, max_cls_size=max_cls_size)
+        root_clab=root_clab, root_ilab=root_ilab, max_cls_size=max_cls_size,
+        gstep_nodes=gstep_nodes, gstep_mess=gstep_mess,
+        assm_cands=assm_cands, assm_cand_ok=assm_cand_ok)

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from .decoder import MotifDecoder
+from .hier_decoder import HierDecoder
 from .encoder import HierMPNEncoder, MotifEncoder
 from .heads import LossWeigh, PropertyOptimizer
 
@@ -224,12 +225,12 @@ class HierPropertyVAE(nn.Module):
             atom_vocab_size=c.atom_vocab_size, rnn_type=c.rnn_type,
             embed_size=c.embed_size, hidden_size=c.hidden_size,
             depthT=c.depthT, depthG=c.depthG, dropout=c.dropout, E_c=ec, E_i=ei)
-        self.decoder = MotifDecoder(
+        self.decoder = HierDecoder(
             hvocab_size=c.hvocab_size, ivocab_size=c.ivocab_size,
             atom_vocab_size=c.atom_vocab_size, rnn_type=c.rnn_type,
             embed_size=c.embed_size, hidden_size=c.hidden_size,
-            latent_size=c.latent_size, diterT=c.diterT, dropout=c.dropout,
-            E_c=ec, E_i=ei)
+            latent_size=c.latent_size, diterT=c.diterT, diterG=c.diterG,
+            dropout=c.dropout, E_c=ec, E_i=ei)
         self.R_mean = nn.Dense(c.latent_size)
         self.R_var = nn.Dense(c.latent_size)
 
@@ -261,8 +262,8 @@ class HierPropertyVAE(nn.Module):
         tree, graph, plan = batch['tree'], batch['graph'], batch['plan']
         root, _, _, _ = self.encoder(tree, graph, deterministic)
         z, kl = self.rsample(root, rng, perturb_z)
-        loss, metrics = self.decoder(tree, plan, z, batch['vocab_mask'],
-                                     deterministic)
+        loss, metrics = self.decoder(tree, graph, plan, z,
+                                     batch['vocab_mask'], deterministic)
         total = loss + beta * kl
         metrics = dict(metrics, Loss=total, KL=kl)
         return total, metrics, {'clipped': jnp.array(False)}
@@ -312,7 +313,7 @@ class HierPropOptVAE(nn.Module):
 
         homo_loss, lumo_loss, _, _ = self.property_loss(
             z, batch['homos'], batch['lumos'], deterministic)
-        recon_loss, metrics = self.hier.decoder(tree, plan, z,
+        recon_loss, metrics = self.hier.decoder(tree, graph, plan, z,
                                                 batch['vocab_mask'], deterministic)
         if self.cfg.loss_scaling:
             recon_loss, homo_loss, lumo_loss = self.loss_weigh(
