@@ -174,7 +174,12 @@ class MotifDecoder(nn.Module):
             return state, (node_h, cls_h)
 
         _, (topo_vecs, cls_vecs) = jax.lax.scan(step, state, (mess, xid, active))
+        return self._losses(plan, root_vecs, init_vecs, vocab_mask,
+                            topo_vecs, cls_vecs, batch_size, deterministic)
 
+    def _losses(self, plan, root_vecs, init_vecs, vocab_mask, topo_vecs,
+                cls_vecs, batch_size, deterministic):
+        active = plan['active']
         T = topo_vecs.shape[0]
         latent_b = jnp.broadcast_to(root_vecs[None], (T, batch_size, self.latent_size))
 
@@ -244,6 +249,79 @@ class MotifDecoder(nn.Module):
             'Assm': assm_acc,
         }
         return loss, metrics
+
+    # -- scheduled-sampling variant ----------------------------------------
+    def scheduled_forward(self, tree: Dict[str, Any], plan: Dict[str, Any],
+                          root_vecs: jnp.ndarray, vocab_mask: jnp.ndarray,
+                          tf_ratio: float, sched_rng: jax.Array,
+                          deterministic: bool = True):
+        """Teacher forcing with scheduled sampling (the repaired intent of the
+        reference's MotifSchedulingDecoder, decoder.py:1098-1606, whose
+        implementation is broken — it references undefined attributes).
+
+        Per (step, sample) a coin with probability ``1 − tf_ratio`` replaces
+        the *gold* motif embedding of the newly expanded node with the
+        embedding of the model's own top-1 motif prediction, so later message
+        inputs see the model's choices.  Losses still use gold labels.
+        """
+        fnode, fmess = tree['fnode'], tree['fmess']
+        agraph, bgraph = tree['agraph_dec'], tree['bgraph_dec']
+        num_mess = fmess.shape[0]
+        batch_size = root_vecs.shape[0]
+
+        init_vecs = self.root_vecs_to_hidden(root_vecs)
+        hnode_emb = self.drop(self._ec()(fnode[:, 0]), deterministic=deterministic)
+        pos_tab = pos_onehot(fmess[:, 2])
+        state = self.rnn.init_state(num_mess, init_vecs)
+
+        if self.is_initializing():
+            nei0 = tuple(jnp.zeros((1, bgraph.shape[1], self.hidden_size))
+                         for _ in state)
+            self.rnn.cell(jnp.zeros((1, self.embed_size + MAX_POS)), nei0)
+            self.W_node(jnp.zeros((1, self.embed_size + self.hidden_size)))
+            self.clsNN(jnp.zeros((1, self.hidden_size + self.latent_size)), True)
+
+        T = plan['xid'].shape[0]
+        coins = jax.random.uniform(sched_rng, (T, batch_size)) > tf_ratio
+
+        def step(carry, inputs):
+            state, emb_buf = carry
+            rows, x_nodes, coin, has_cls = inputs
+            valid = (rows > 0)
+            src = fmess[rows, 0]
+            dst = fmess[rows, 1]
+
+            def diter_body(_, st):
+                x = jnp.concatenate([emb_buf[src], pos_tab[rows]], axis=-1)
+                nei = tuple(gather_nd(s, bgraph)[rows] for s in st)
+                new_rows = self.rnn.cell(x, nei)
+                return tuple(
+                    s.at[rows].set(jnp.where(valid[:, None], nr, s[rows]))
+                    .at[0].set(0.0)
+                    for s, nr in zip(st, new_rows))
+
+            state = jax.lax.fori_loop(0, self.diterT, diter_body, state)
+            h = self.rnn.hidden(state)
+            nei_msg = nei_sum(h, agraph[x_nodes])
+            node_h = nn.relu(self.W_node(
+                jnp.concatenate([hnode_emb[x_nodes], nei_msg], axis=-1)))
+            cls_h = h[rows]
+            # model's own motif prediction for the expanded node
+            cls_logits = self.clsNN(
+                jnp.concatenate([cls_h, root_vecs], axis=-1), True)
+            pred = jnp.argmax(cls_logits, axis=-1)
+            use_pred = coin & has_cls & valid
+            pred_emb = self._ec()(pred)
+            emb_buf = emb_buf.at[dst].set(
+                jnp.where(use_pred[:, None], pred_emb, emb_buf[dst]))
+            emb_buf = emb_buf.at[0].set(hnode_emb[0])
+            return (state, emb_buf), (node_h, cls_h)
+
+        xs = (plan['mess'], plan['xid'], coins, plan['has_cls'])
+        (_, _), (topo_vecs, cls_vecs) = jax.lax.scan(
+            step, (state, hnode_emb), xs)
+        return self._losses(plan, root_vecs, init_vecs, vocab_mask,
+                            topo_vecs, cls_vecs, batch_size, deterministic)
 
     # -- autoregressive decode step functions ------------------------------
     # Jitted by ggpm_tpu.models.decode; fixed [B]-shaped inputs per step.

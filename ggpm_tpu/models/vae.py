@@ -330,13 +330,64 @@ class HierPropOptVAE(nn.Module):
         return total, metrics, {'clipped': clipped}
 
 
+class PropOptSchedulingVAE(nn.Module):
+    """Motif VAE + property heads with a scheduled-sampling decoder
+    (reference PropOptSchedulingVAE, property_vae.py:399-480; the property
+    losses are weighted 20×, property_vae.py:477).  The reference's
+    scheduling decoder implementation is broken — this is the repaired
+    intent (see MotifDecoder.scheduled_forward)."""
+    cfg: ModelConfig
+
+    def setup(self):
+        c = self.cfg
+        self.vae = PropertyVAE(cfg=c)
+        self.property_optim = PropertyOptimizer(
+            hidden_size=c.linear_hidden_size, dropout=c.dropout)
+        self.half_latent = c.latent_size // 2
+
+    def _decoder(self):
+        return self.vae.decoder
+
+    def rsample(self, z_vecs, rng, perturb=True):
+        return self.vae.rsample(z_vecs, rng, perturb)
+
+    def encode_latent(self, tree, rng=None, perturb=False, deterministic=True):
+        return self.vae.encode_latent(tree, rng, perturb, deterministic)
+
+    def predict_properties(self, z, deterministic=True):
+        return self.property_optim.predict(
+            z[:, :self.half_latent], z[:, self.half_latent:], deterministic)
+
+    def __call__(self, batch: Dict[str, Any], beta: float,
+                 rng: Optional[jax.Array] = None, perturb_z: bool = True,
+                 deterministic: bool = True, tf_ratio: float = 1.0):
+        tree, plan = batch['tree'], batch['plan']
+        rng_z, rng_sched = (jax.random.split(rng) if rng is not None
+                            else (jax.random.PRNGKey(0),) * 2)
+        root, _ = self.vae.encoder(tree, deterministic)
+        z, kl = self.vae.rsample(root, rng_z, perturb_z)
+        homo_loss, lumo_loss, _, _ = self.property_optim(
+            z[:, :self.half_latent], z[:, self.half_latent:],
+            (batch['homos'], batch['lumos']), deterministic)
+        recon_loss, metrics = self.vae.decoder.scheduled_forward(
+            tree, plan, z, batch['vocab_mask'], tf_ratio, rng_sched,
+            deterministic)
+        recon_loss = recon_loss + beta * kl
+        total = recon_loss + 20.0 * homo_loss + 20.0 * lumo_loss
+        metrics = dict(metrics, Loss=total, KL=kl, Recs_Loss=recon_loss,
+                       HOMO_MSE=homo_loss, LUMO_MSE=lumo_loss)
+        return total, metrics, {'clipped': jnp.array(False)}
+
+
 class OPVNet:
-    """Model registry (reference /root/reference/ggpm/opvnet.py:3-13)."""
+    """Model registry (reference /root/reference/ggpm/opvnet.py:3-13, plus
+    the scheduled-sampling variant under ``prop-opt-sched``)."""
     MODEL_DICT = {
         'prop': PropertyVAE,
         'prop-opt': PropOptVAE,
         'hier-prop': HierPropertyVAE,
         'hier-prop-opt': HierPropOptVAE,
+        'prop-opt-sched': PropOptSchedulingVAE,
     }
 
     @staticmethod
