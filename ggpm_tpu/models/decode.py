@@ -77,6 +77,20 @@ class DecodeResult:
     logs: List[Dict[str, Any]] = field(default_factory=list)
 
 
+def sample_prior(model, params, vocab: PairVocab, avocab: Vocab,
+                 batch_size: int, rng: Optional[np.random.Generator] = None,
+                 latent_size: Optional[int] = None, **decode_kwargs):
+    """Sample molecules from the prior N(0, I) over the latent space
+    (reference HierVAE.sample, hpgnn.py:35-37 / HierPropertyVAE.sample,
+    property_vae.py:35-37)."""
+    rng = rng or np.random.default_rng(0)
+    if latent_size is None:
+        latent_size = model.cfg.latent_size
+    z = rng.standard_normal((batch_size, latent_size)).astype(np.float32)
+    return decode_motif(model, params, vocab, avocab, z, greedy=True,
+                        **decode_kwargs)
+
+
 def decode_motif(model, params, vocab: PairVocab, avocab: Vocab,
                  root_vecs: np.ndarray, greedy: bool = True,
                  max_decode_step: int = 150, beam: int = 5,

@@ -397,3 +397,10 @@ class OPVNet:
         except KeyError:
             raise ValueError(f'Model {name} does not exist '
                              f'(have: {sorted(OPVNet.MODEL_DICT)})')
+
+
+# Legacy alias: the original hgraph2graph-style HierVAE (reference
+# /root/reference/ggpm/hpgnn.py:15-76) is architecturally the hierarchical
+# property VAE without heads; prior sampling lives in
+# ggpm_tpu.models.decode.sample_prior.
+HierVAE = HierPropertyVAE
