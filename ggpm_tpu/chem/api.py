@@ -40,13 +40,38 @@ def get_mol(smiles: str) -> Optional[Mol]:
     return mol_from_smiles(smiles)
 
 
+import os as _os
+
+_USE_NATIVE = _os.environ.get('GGPM_NATIVE_CHEM', '1') != '0'
+
+
+def _native_canon(mol: Mol, kekule: bool):
+    """Fast path: serialize non-canonically (cheap, no ranking) and let the
+    native kernel re-parse + canonicalize.  The native kernel mirrors the
+    Python one (differential-tested, tests/test_native.py); mode is constant
+    per process so pipeline self-consistency holds."""
+    if not _USE_NATIVE:
+        return None
+    from . import native
+    if not native.available():
+        return None
+    raw = mol_to_smiles(mol, kekule=True, canonical=False)
+    return native.canon_smiles_native(raw, kekule=kekule)
+
+
 def get_smiles(mol: Mol) -> str:
     """Canonical kekulé SMILES (reference ``get_smiles``, chemutils.py:24-25)."""
+    fast = _native_canon(mol, kekule=True)
+    if fast is not None:
+        return fast
     return mol_to_smiles(mol, kekule=True)
 
 
 def get_smiles_aromatic(mol: Mol) -> str:
     """Canonical aromatic-form SMILES (RDKit MolToSmiles default)."""
+    fast = _native_canon(mol, kekule=False)
+    if fast is not None:
+        return fast
     return mol_to_smiles(mol, kekule=False)
 
 
