@@ -20,7 +20,7 @@ from ..configs import Configs
 from ..data.batching import to_model_batch
 from ..data.dataset import MoleculeDataset
 from ..graph.vocab import common_atom_vocab
-from ..models.decode import decode_motif
+from ..models.decode import decode_hier, decode_motif
 from ..train import checkpoint as ckpt
 from .common import init_params, read_csv_data, setup_model
 
@@ -45,19 +45,27 @@ def main(argv=None):
     params = ckpt.load_params(params, model_path)
 
     has_props = args.model_type in ('prop-opt', 'hier-prop-opt')
+    is_hier = args.model_type.startswith('hier')
+    decode_fn = decode_hier if is_hier else decode_motif
     rows, logs = [], []
     for i in range(len(dataset)):
         mb = dataset[i]
         batch = jax.tree.map(jnp.asarray, to_model_batch(mb, vocab.mask, pad=False))
-        z, _ = model.apply(params, batch['tree'],
-                           method=lambda m, tree: m.encode_latent(tree, perturb=False))
+        if is_hier:
+            z, _ = model.apply(
+                params, batch['tree'],
+                method=lambda m, tree: m.encode_latent(
+                    tree, graph=batch['graph'], perturb=False))
+        else:
+            z, _ = model.apply(params, batch['tree'],
+                               method=lambda m, tree: m.encode_latent(tree, perturb=False))
         if has_props:
             homo_p, lumo_p = model.apply(
                 params, z, method=lambda m, zz: m.predict_properties(zz))
             homo_p, lumo_p = np.asarray(homo_p), np.asarray(lumo_p)
         else:
             homo_p = lumo_p = [None] * len(mb.smiles)
-        results, smiles = decode_motif(
+        results, smiles = decode_fn(
             model, params, vocab, common_atom_vocab, np.asarray(z),
             greedy=True, max_decode_step=args.max_decode_step)
         logs.extend(results)

@@ -77,6 +77,262 @@ class DecodeResult:
     logs: List[Dict[str, Any]] = field(default_factory=list)
 
 
+class HierDecodeKernel:
+    """Jitted step functions for the hierarchical decoder."""
+
+    def __init__(self, model, params, vocab_mask: np.ndarray, beam: int = 5):
+        self.mask = jnp.asarray(vocab_mask)
+        self.beam = beam
+
+        def dec(name, static_argnums=()):
+            def f(*args):
+                return model.apply(
+                    params, *args,
+                    method=lambda m, *a: getattr(m._decoder(), name)(*a))
+            return jax.jit(f, static_argnums=static_argnums)
+
+        self.init_state = dec('hdec_init', static_argnums=(0, 1, 2, 3))
+        self.graph_update = dec('hdec_graph_update')
+        self.topo = dec('hdec_topo')
+        self.mess_update = dec('hdec_mess_update')
+        self.cls = dec('hdec_cls')
+        self.assm = dec('hdec_assm')
+        self._topk = jax.jit(lambda c, i: hier_topk(c, i, self.mask, beam))
+
+    def topk(self, cls_scores, icls_scores):
+        return self._topk(cls_scores, icls_scores)
+
+
+def decode_hier(model, params, vocab: PairVocab, avocab: Vocab,
+                root_vecs: np.ndarray, greedy: bool = True,
+                max_decode_step: int = 150, beam: int = 5,
+                max_nodes: int = 400, max_edges: int = 500,
+                rng: Optional[np.random.Generator] = None,
+                log_steps: bool = False,
+                kn: int = 32, ke: int = 72, cand_cap: int = 24):
+    """Batched autoregressive decode for the hierarchical models (reference
+    HierMPNDecoder.decode, decoder.py:303-472).  Same host/device split as
+    ``decode_motif`` plus the atom-level state: each step refreshes the
+    frontier clusters' atom hiddens on device, and assembly candidates are
+    scored against them (candidate-dependent, unlike the motif decoder)."""
+    rng = rng or np.random.default_rng(0)
+    root_vecs = jnp.asarray(root_vecs)
+    batch_size = root_vecs.shape[0]
+    results = [[] for _ in range(batch_size)]
+
+    tree = IncTree(batch_size, max_nodes=max_nodes, max_edges=max_edges,
+                   max_sub_nodes=kn)
+    graph = IncGraph(avocab, batch_size, max_nodes=max_nodes,
+                     max_edges=max_edges + 100)
+    stack: List[List[int]] = [[] for _ in range(batch_size)]
+
+    kern = HierDecodeKernel(model, params, vocab.mask, beam)
+
+    # root prediction: cls/icls heads on the latent-derived init vector
+    # (reference decoder.py:313-324)
+    def root_heads(rv):
+        return model.apply(
+            params, rv,
+            method=lambda m, v: (
+                m._decoder().clsNN(jnp.concatenate(
+                    [m._decoder().root_vecs_to_hidden(v), v], axis=-1), True),
+                m._decoder().iclsNN(jnp.concatenate(
+                    [m._decoder().root_vecs_to_hidden(v), v], axis=-1), True)))
+    cls_scores, icls_scores = jax.jit(root_heads)(root_vecs)
+    root_cls = np.asarray(jnp.argmax(cls_scores, axis=-1))
+    icls_masked = np.asarray(icls_scores) + vocab.get_mask(root_cls)
+    root_icls = icls_masked.argmax(axis=-1)
+
+    super_root = tree.add_node()
+    for b in range(batch_size):
+        clab, ilab = int(root_cls[b]), int(root_icls[b])
+        results[b].append({'root': vocab.get_smiles(clab),
+                           'Attaching Fragment': {
+                               'mol': clab,
+                               'attachment': vocab.get_ismiles(ilab)}})
+        root_idx = tree.add_node((clab, ilab))
+        tree.add_edge(super_root, root_idx)
+        stack[b].append(root_idx)
+        new_atoms, new_bonds, attached = graph.add_mol(
+            b, vocab.get_ismiles(ilab), [], 0)
+        tree.register_cgraph(root_idx, new_atoms, new_bonds, attached)
+
+    n_tree_rows = max_edges * batch_size
+    n_graph_rows = (max_edges + 100) * batch_size
+    n_gnodes = max_nodes * batch_size
+    n_tnodes = max_nodes * batch_size
+    state = kern.init_state(n_tree_rows, n_graph_rows, n_gnodes, n_tnodes,
+                            root_vecs)
+    max_nb = tree.max_nb
+    g_nb = graph.max_nb
+
+    for t in range(max_decode_step):
+        for r in results:
+            r.append({})
+        batch_list = [b for b in range(batch_size) if stack[b]]
+        if not batch_list:
+            break
+
+        # ---- atom-level refresh of frontier clusters --------------------
+        g_rows = np.zeros((batch_size, ke), dtype=np.int32)
+        g_nodes = np.zeros((batch_size, kn), dtype=np.int32)
+        for b in batch_list:
+            v = stack[b][-1]
+            edges = tree.get_cluster_edges([v])[:ke]
+            atoms = tree.get_cluster_nodes([v])[:kn]
+            g_rows[b, :len(edges)] = edges
+            g_nodes[b, :len(atoms)] = atoms
+        fr = g_rows.reshape(-1)
+        fn = g_nodes.reshape(-1)
+        state = kern.graph_update(
+            state, jnp.asarray(g_rows),
+            jnp.asarray(graph.fmess[fr, 0].reshape(g_rows.shape)),
+            jnp.asarray(graph.fmess[fr, 1].reshape(g_rows.shape)),
+            jnp.asarray(graph.fmess[fr, 2].reshape(g_rows.shape)),
+            jnp.asarray(graph.bgraph[fr].reshape(batch_size, ke, g_nb)),
+            jnp.asarray(g_nodes),
+            jnp.asarray(graph.fnode[fn, 0].reshape(g_nodes.shape)),
+            jnp.asarray(graph.agraph[fn].reshape(batch_size, kn, g_nb)))
+
+        # ---- frontier readout → topology --------------------------------
+        v_nodes = np.zeros(batch_size, dtype=np.int32)
+        v_clab = np.zeros(batch_size, dtype=np.int32)
+        v_ilab = np.zeros(batch_size, dtype=np.int32)
+        v_cg = np.zeros((batch_size, kn), dtype=np.int32)
+        v_ag = np.zeros((batch_size, max_nb), dtype=np.int32)
+        for b in batch_list:
+            v = stack[b][-1]
+            v_nodes[b] = v
+            v_clab[b] = tree.fnode[v, 0]
+            v_ilab[b] = tree.fnode[v, 1]
+            v_cg[b] = tree.cgraph[v][:kn]
+            v_ag[b] = tree.agraph[v]
+        state, topo_logits = kern.topo(
+            state, jnp.asarray(v_nodes), jnp.asarray(v_clab),
+            jnp.asarray(v_ilab), jnp.asarray(v_cg), jnp.asarray(v_ag),
+            root_vecs)
+        topo_logits = np.asarray(topo_logits)
+        topo_p = 1.0 / (1.0 + np.exp(-topo_logits))
+        topo_pred = topo_p if greedy else \
+            (rng.random(batch_size) < topo_p).astype(np.float64)
+
+        # ---- tree edits --------------------------------------------------
+        new_rows = np.zeros(batch_size, dtype=np.int32)
+        src_nodes = np.zeros(batch_size, dtype=np.int32)
+        pos_feat = np.zeros(batch_size, dtype=np.int32)
+        expand_bids = []
+        for b in batch_list:
+            results[b][-1]['Generate fragment'] = float(topo_p[b])
+            if topo_pred[b] > 0.5 and tree.can_expand(stack[b][-1]):
+                parent = stack[b][-1]
+                new_node = tree.add_node()
+                new_edge = tree.add_edge(parent, new_node, (parent, new_node, 0))
+                stack[b].append(new_node)
+                new_rows[b] = new_edge
+                src_nodes[b] = parent
+                expand_bids.append(b)
+            else:
+                child = stack[b].pop()
+                if stack[b]:
+                    top = stack[b][-1]
+                    nth_child = tree.in_degree(top)
+                    new_edge = tree.add_edge(child, top, (child, top, nth_child))
+                    new_rows[b] = new_edge
+                    src_nodes[b] = child
+                    pos_feat[b] = min(nth_child, 19)
+
+        state = kern.mess_update(
+            state, jnp.asarray(new_rows), jnp.asarray(src_nodes),
+            jnp.asarray(tree.fnode[src_nodes, 0]),
+            jnp.asarray(tree.fnode[src_nodes, 1]),
+            jnp.asarray(tree.cgraph[src_nodes][:, :kn]),
+            jnp.asarray(pos_feat),
+            jnp.asarray(tree.bgraph[new_rows]),
+            jnp.asarray(tree.bgraph[new_rows]))
+
+        if expand_bids:
+            cls_scores, icls_scores = kern.cls(state, jnp.asarray(new_rows),
+                                               root_vecs)
+            scores, cls_topk, icls_topk = kern.topk(cls_scores, icls_scores)
+            scores = np.asarray(scores)
+            cls_topk = np.asarray(cls_topk)
+            icls_topk = np.asarray(icls_topk)
+
+        for b in expand_bids:
+            new_node, fa_node = stack[b][-1], stack[b][-2]
+            success = False
+            if greedy:
+                cls_beam = range(beam)
+            else:
+                p = np.exp(scores[b] - scores[b].max())
+                p = p / p.sum()
+                cls_beam = rng.choice(beam, size=beam, replace=False, p=p)
+            try:
+                for kk in cls_beam:
+                    if success:
+                        break
+                    clab, ilab = int(cls_topk[b][kk]), int(icls_topk[b][kk])
+                    tree.set_node_feature(new_node, (clab, ilab))
+                    smiles = vocab.get_smiles(clab)
+                    ismiles = vocab.get_ismiles(ilab)
+                    fa_cluster, _, fa_used = tree.get_cluster(fa_node)
+                    inter_cands, anchor_smiles, attach_points = \
+                        graph.get_assm_cands(fa_cluster, fa_used, ismiles)
+                    if len(inter_cands) == 0:
+                        continue
+                    if len(inter_cands) == 1:
+                        sorted_cands = [list(inter_cands[0])]
+                        nth_child = 0
+                    else:
+                        nth_child = tree.in_degree(fa_node)
+                        icls_ids = np.zeros(2, dtype=np.int32)
+                        for j, a_s in enumerate(anchor_smiles[:2]):
+                            try:
+                                icls_ids[j] = vocab[(smiles, a_s)][1]
+                            except KeyError:
+                                pass
+                        cand_arr = np.zeros((cand_cap, 2), dtype=np.int32)
+                        use = inter_cands[:cand_cap]
+                        for j, c in enumerate(use):
+                            cand_arr[j, 0] = c[0]
+                            cand_arr[j, 1] = c[-1]
+                        sc = np.asarray(kern.assm(
+                            state, jnp.asarray(cand_arr), jnp.asarray(icls_ids),
+                            jnp.asarray(min(len(anchor_smiles), 2)),
+                            jnp.asarray(min(nth_child, 19)), root_vecs[b]))
+                        order = np.argsort(-sc[:len(use)], kind='stable')
+                        sorted_cands = [list(use[j]) for j in order]
+                    for inter_label in sorted_cands:
+                        pairs = list(zip(inter_label, attach_points))
+                        if graph.try_add_mol(b, ismiles, pairs):
+                            new_atoms, new_bonds, attached = graph.add_mol(
+                                b, ismiles, pairs, nth_child)
+                            tree.register_cgraph(new_node, new_atoms,
+                                                 new_bonds, attached)
+                            tree.update_attached(fa_node, pairs)
+                            if log_steps:
+                                results[b][-1]['Attaching Fragment'] = (
+                                    ismiles, attach_points, pairs)
+                            success = True
+                            break
+            except Exception:
+                pass
+
+            if not success:
+                child = stack[b].pop()
+                top = stack[b][-1]
+                tree.add_edge(child, top, (child, top, tree.in_degree(top)))
+                child = stack[b].pop()
+                if stack[b]:
+                    top = stack[b][-1]
+                    tree.add_edge(child, top, (child, top, tree.in_degree(top)))
+
+    smiles_out = graph.get_smiles()
+    while len(smiles_out) < batch_size:
+        smiles_out.append(None)
+    return results, smiles_out
+
+
 def sample_prior(model, params, vocab: PairVocab, avocab: Vocab,
                  batch_size: int, rng: Optional[np.random.Generator] = None,
                  latent_size: Optional[int] = None, **decode_kwargs):

@@ -292,3 +292,122 @@ class HierDecoder(nn.Module):
         loss = (topo_loss + cls_loss + icls_loss + assm_loss) / batch_size
         return loss, {'Word': cls_acc, 'I-Word': icls_acc, 'Topo': topo_acc,
                       'Assm': assm_acc}
+
+    # -- autoregressive decode step functions ------------------------------
+    # Mirrors the two IncHierMPNEncoder calls per reference decode step
+    # (decoder.py:367-399) with graph bookkeeping host-side; all index tables
+    # are passed per call as fixed-width arrays.
+
+    def _sparse_direct(self, rnn, state, rows, x, bg_rows, n_iter):
+        """Cell application on explicit rows with explicit predecessor-row
+        tables (decode-time variant of the scan's sparse update)."""
+        valid = (rows > 0)
+        for _ in range(n_iter):
+            nei = tuple(s[bg_rows] for s in state)
+            new = rnn.cell(x, nei)
+            state = tuple(
+                s.at[rows].set(jnp.where(valid[..., None], nr, s[rows]))
+                .at[0].set(0.0)
+                for s, nr in zip(state, new))
+        return state
+
+    def hdec_init(self, n_tree_rows: int, n_graph_rows: int, n_gnodes: int,
+                  n_tnodes: int, root_vecs):
+        init = self.root_vecs_to_hidden(root_vecs)
+        b = init.shape[0]
+        tree_state = self.tree_rnn.init_state(n_tree_rows)
+        tree_state = (tree_state[0].at[1:b + 1].set(init),) + tuple(tree_state[1:])
+        inter_state = self.inter_rnn.init_state(n_tree_rows)
+        graph_state = self.graph_rnn.init_state(n_graph_rows)
+        hatom = jnp.zeros((n_gnodes, self.hidden_size))
+        hinter_node = jnp.zeros((n_tnodes, self.hidden_size))
+        return (tree_state, inter_state, graph_state, hatom, hinter_node)
+
+    def _g_mess_input(self, src_av, bt, nth):
+        return jnp.concatenate([
+            jnp.eye(self.atom_vocab_size, dtype=jnp.float32)[src_av],
+            jnp.eye(4, dtype=jnp.float32)[jnp.clip(bt, 0, 3)],
+            pos_onehot(nth)], axis=-1)
+
+    def hdec_graph_update(self, state, g_rows, g_src_av, g_bt, g_nth,
+                          g_bg_rows, g_nodes, g_node_av, g_ag_rows):
+        """Atom-level refresh of the frontier clusters (reference decode
+        subgraph pass)."""
+        tree_s, inter_s, graph_s, hatom, hinter_node = state
+        flat = g_rows.reshape(-1)
+        x = self._g_mess_input(g_src_av.reshape(-1), g_bt.reshape(-1),
+                               g_nth.reshape(-1))
+        graph_s = self._sparse_direct(self.graph_rnn, graph_s, flat, x,
+                                      g_bg_rows.reshape(-1, g_bg_rows.shape[-1]),
+                                      self.diterG)
+        gh = self.graph_rnn.hidden(graph_s)
+        gn = g_nodes.reshape(-1)
+        hn = jnp.eye(self.atom_vocab_size, dtype=jnp.float32)[g_node_av.reshape(-1)]
+        node_h = nn.relu(self.W_graph_node(jnp.concatenate(
+            [hn, gh[g_ag_rows.reshape(-1, g_ag_rows.shape[-1])].sum(axis=-2)],
+            axis=-1)))
+        hatom = hatom.at[gn].set(
+            jnp.where((gn > 0)[:, None], node_h, hatom[gn])).at[0].set(0.0)
+        return (tree_s, inter_s, graph_s, hatom, hinter_node)
+
+    def hdec_topo(self, state, v_nodes, v_clab, v_ilab, v_cgraph, v_ag_rows,
+                  root_vecs):
+        """Frontier 3-level node readout + topology logits; also refreshes
+        the attachment-node buffer used by subsequent message embedding."""
+        tree_s, inter_s, graph_s, hatom, hinter_node = state
+        hclu = hatom[v_cgraph].sum(axis=-2)
+        inter_emb = nn.relu(self.W_i(jnp.concatenate(
+            [self._ei()(v_ilab), hclu], axis=-1)))
+        ih = self.inter_rnn.hidden(inter_s)
+        inter_node = nn.relu(self.W_inter_node(jnp.concatenate(
+            [inter_emb, ih[v_ag_rows].sum(axis=-2)], axis=-1)))
+        hinter_node = hinter_node.at[v_nodes].set(
+            jnp.where((v_nodes > 0)[:, None], inter_node,
+                      hinter_node[v_nodes])).at[0].set(0.0)
+        tree_emb = nn.relu(self.W_c(jnp.concatenate(
+            [self._ec()(v_clab), inter_node], axis=-1)))
+        th = self.tree_rnn.hidden(tree_s)
+        tree_node = nn.relu(self.W_tree_node(jnp.concatenate(
+            [tree_emb, th[v_ag_rows].sum(axis=-2)], axis=-1)))
+        logits = self.topoNN(jnp.concatenate([tree_node, root_vecs], axis=-1),
+                             True)[..., 0]
+        state = (tree_s, inter_s, graph_s, hatom, hinter_node)
+        return state, logits
+
+    def hdec_mess_update(self, state, rows, src_nodes, src_clab, src_ilab,
+                         src_cgraph, pos, inter_bg_rows, tree_bg_rows):
+        """Compute inter- and tree-level messages for this step's new edges."""
+        tree_s, inter_s, graph_s, hatom, hinter_node = state
+        hclu = hatom[src_cgraph].sum(axis=-2)
+        inter_emb = nn.relu(self.W_i(jnp.concatenate(
+            [self._ei()(src_ilab), hclu], axis=-1)))
+        x_i = jnp.concatenate([inter_emb, pos_onehot(pos)], axis=-1)
+        inter_s = self._sparse_direct(self.inter_rnn, inter_s, rows, x_i,
+                                      inter_bg_rows, self.diterT)
+        tree_emb = nn.relu(self.W_c(jnp.concatenate(
+            [self._ec()(src_clab), hinter_node[src_nodes]], axis=-1)))
+        x_t = jnp.concatenate([tree_emb, pos_onehot(pos)], axis=-1)
+        tree_s = self._sparse_direct(self.tree_rnn, tree_s, rows, x_t,
+                                     tree_bg_rows, self.diterT)
+        return (tree_s, inter_s, graph_s, hatom, hinter_node)
+
+    def hdec_cls(self, state, rows, root_vecs):
+        th = self.tree_rnn.hidden(state[0])
+        x = jnp.concatenate([th[rows], root_vecs], axis=-1)
+        return self.clsNN(x, True), self.iclsNN(x, True)
+
+    def hdec_assm(self, state, cand_atoms, icls_ids, n_icls, nth, ctx):
+        """Per-candidate assembly scores against current atom hiddens
+        (reference enum_attach + get_assm_score in decode,
+        decoder.py:436-443)."""
+        hatom = state[3]
+        cand_h = hatom[cand_atoms]                         # [C, 2, H]
+        icls_e = self._ei()(icls_ids)                      # [2, E]
+        icls_e = jnp.broadcast_to(icls_e[None], cand_h.shape[:2] + (self.embed_size,))
+        pos_e = jnp.broadcast_to(pos_onehot(nth)[None, None],
+                                 cand_h.shape[:2] + (MAX_POS,))
+        mvec = nn.relu(self.matchNN(jnp.concatenate(
+            [cand_h, icls_e, pos_e], axis=-1)))
+        k_mask = (jnp.arange(2)[None, :] < n_icls)[..., None]
+        cand_vecs = (mvec * k_mask).sum(axis=1)            # [C, H]
+        return (self.W_assm(cand_vecs) * ctx[None]).sum(-1)

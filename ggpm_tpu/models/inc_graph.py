@@ -147,7 +147,13 @@ class IncGraph(IncBase):
                 new_atom = copy_atom(atom, with_map=False)
                 new_atom.map_num = batch_idx
                 idx = self.mol.add_atom(new_atom)
-                node_idx = self.add_node()
+                # fnode carries the atom-vocab index (one-hot on device;
+                # reference get_atom_feature, inc_graph.py:243-247)
+                try:
+                    av = self.avocab[(atom.symbol, atom.charge)]
+                except KeyError:
+                    av = 0
+                node_idx = self.add_node((av,))
                 assert idx == node_idx, 'mol and message graph must stay aligned'
                 atom_map[i] = idx
                 new_atoms.append(idx)
@@ -157,14 +163,21 @@ class IncGraph(IncBase):
                 if atom.map_num == 0:
                     interior_atoms.append(idx)
 
+        from ..graph.mol_graph import bond_type_index
         for b in emol.bonds:
             a1, a2 = atom_map[b.a1], atom_map[b.a2]
             if a1 == a2:
                 continue
             if self.mol.bond_between(a1, a2) is None:
                 self.mol.add_bond(a1, a2, b.order, b.aromatic)
-                self.add_edge(a1, a2, (0, 0, nth_child if a2 in attached else 0))
-                self.add_edge(a2, a1, (0, 0, nth_child if a1 in attached else 0))
+                bt = bond_type_index(emol, b)
+                # fmess rows carry (source atom type, bond type, nth_child) —
+                # the raw features of the reference's get_mess_feature
+                # (inc_graph.py:249-257), one-hot-expanded on device
+                self.add_edge(a1, a2, (self.fnode[a1, 0], bt,
+                                       nth_child if a2 in attached else 0))
+                self.add_edge(a2, a1, (self.fnode[a2, 0], bt,
+                                       nth_child if a1 in attached else 0))
             else:
                 attached.extend([(a1, a2), (a2, a1)])
             new_bonds.extend([self.edge_dict[(a1, a2)], self.edge_dict[(a2, a1)]])

@@ -293,6 +293,11 @@ class HierPropOptVAE(nn.Module):
     def rsample(self, z_vecs, rng, perturb=True):
         return self.hier.rsample(z_vecs, rng, perturb)
 
+    def encode_latent(self, tree, rng=None, perturb=False, deterministic=True,
+                      graph=None):
+        return self.hier.encode_latent(tree, rng, perturb, deterministic,
+                                       graph=graph)
+
     def predict_properties(self, z, deterministic=True):
         return self.property_optim.predict(
             z[:, :self.half_latent], z[:, self.half_latent:], deterministic)

@@ -94,3 +94,34 @@ def test_inc_graph_assembly():
     # by sanitize in try_add_mol
     ok = g.try_add_mol(0, 'C', [])  # singleton with no attachment is fine
     assert isinstance(ok, (bool, np.bool_))
+
+
+def test_hier_decode(tiny_model_setup):
+    """Hierarchical decode: valid molecules from a briefly trained hier
+    model."""
+    import jax
+    from ggpm_tpu.models.decode import decode_hier
+    from ggpm_tpu.models.vae import HierPropertyVAE, ModelConfig
+    from ggpm_tpu.train.loop import Trainer
+    from ggpm_tpu.train.optim import make_optimizer
+    st = tiny_model_setup
+    import copy
+    cfg = copy.copy(st['cfg'])
+    cfg.depthG = 3
+    cfg.diterG = 1
+    model = HierPropertyVAE(cfg=cfg)
+    opt = make_optimizer(lr=2e-3, steps_per_epoch=3)
+    tr = Trainer(model, opt, st['vocab'].mask, beta=0.01, print_iter=10**9)
+    params, opt_state = tr.init(st['batches'][0])
+    for _ in range(6):
+        params, opt_state, _ = tr.train_epoch(params, opt_state, st['batches'])
+    mb = st['batches'][0]
+    batch = jax.tree.map(jnp.asarray,
+                         to_model_batch(mb, st['vocab'].mask, pad=False))
+    z, _ = model.apply(params, batch['tree'],
+                       method=lambda m, tree: m.encode_latent(
+                           tree, graph=batch['graph'], perturb=False))
+    _, smiles = decode_hier(model, params, st['vocab'], common_atom_vocab,
+                            np.asarray(z), greedy=True, max_decode_step=40)
+    assert len(smiles) == len(mb.smiles)
+    assert sum(1 for s in smiles if s and get_mol(s) is not None) >= 1
