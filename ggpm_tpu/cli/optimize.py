@@ -22,7 +22,7 @@ from ..data.batching import to_model_batch
 from ..data.dataset import MoleculeDataset
 from ..graph.vocab import common_atom_vocab
 from ..latent.control import LatentOptimizer
-from ..models.decode import decode_motif
+from ..models.decode import decode_hier, decode_motif
 from ..train import checkpoint as ckpt
 from .common import init_params, read_csv_data, setup_model
 
@@ -63,19 +63,28 @@ def main(argv=None):
         params, configs.get('output_model') or configs.get('saved_model'))
 
     latent_opt = LatentOptimizer(model, params, **opt)
+    is_hier = args.model_type.startswith('hier')
+    decode_fn = decode_hier if is_hier else decode_motif
 
     recon_rows, prop_rows, logs = [], [], []
     for i in range(len(dataset)):
         mb = dataset[i]
         batch = jax.tree.map(jnp.asarray, to_model_batch(mb, vocab.mask, pad=False))
-        z, _ = model.apply(params, batch['tree'],
-                           method=lambda m, tree: m.encode_latent(tree, perturb=False))
+        if is_hier:
+            z, _ = model.apply(
+                params, batch['tree'],
+                method=lambda m, tree: m.encode_latent(
+                    tree, graph=batch['graph'], perturb=False))
+        else:
+            z, _ = model.apply(
+                params, batch['tree'],
+                method=lambda m, tree: m.encode_latent(tree, perturb=False))
         h0, l0 = model.apply(params, z,
                              method=lambda m, zz: m.predict_properties(zz))
         z_opt = latent_opt.optimize(z, mb.homos, mb.lumos)
         h1, l1 = model.apply(params, z_opt,
                              method=lambda m, zz: m.predict_properties(zz))
-        results, smiles = decode_motif(
+        results, smiles = decode_fn(
             model, params, vocab, common_atom_vocab, np.asarray(z_opt),
             greedy=True, max_decode_step=150)
         logs.extend(results)
