@@ -1,0 +1,82 @@
+"""Model-level convenience API mirroring the reference VAE surface.
+
+The reference exposes ``model.reconstruct(batch, args)`` /
+``model.sample(batch_size)`` / ``model.optimize_recs(batch, args)``
+(property_vae.py:35-45, 101-109, 190-204, 299-334).  Under JAX the decode
+loop interleaves host chemistry, so these live as functions taking
+``(model, params, …)`` instead of methods.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.batching import to_model_batch
+from ..graph.vocab import PairVocab, common_atom_vocab
+from .decode import decode_hier, decode_motif, sample_prior
+
+
+def _is_hier(model) -> bool:
+    return type(model).__name__.startswith('Hier')
+
+
+def encode(model, params, batch: dict, perturb: bool = False,
+           rng: Optional[jax.Array] = None):
+    """Latent code of a model batch (no noise by default — reference
+    eval-time convention)."""
+    if _is_hier(model):
+        z, kl = model.apply(params, batch['tree'],
+                            method=lambda m, tree: m.encode_latent(
+                                tree, rng, perturb, True,
+                                graph=batch['graph']))
+    else:
+        z, kl = model.apply(params, batch['tree'],
+                            method=lambda m, tree: m.encode_latent(
+                                tree, rng, perturb, True))
+    return z, kl
+
+
+def reconstruct(model, params, mb, vocab: PairVocab, avocab=common_atom_vocab,
+                greedy: bool = True, max_decode_step: int = 150, **kwargs):
+    """Encode without noise, then decode greedily (reference
+    ``reconstruct``).  Returns (property_outputs_or_None, (results, smiles))."""
+    batch = jax.tree.map(jnp.asarray, to_model_batch(mb, vocab.mask, pad=False))
+    z, _ = encode(model, params, batch, perturb=False)
+    props = None
+    if hasattr(model, 'predict_properties'):
+        props = model.apply(params, z,
+                            method=lambda m, zz: m.predict_properties(zz))
+        props = (np.asarray(props[0]), np.asarray(props[1]))
+    decode_fn = decode_hier if _is_hier(model) else decode_motif
+    out = decode_fn(model, params, vocab, avocab, np.asarray(z),
+                    greedy=greedy, max_decode_step=max_decode_step, **kwargs)
+    return props, out
+
+
+def sample(model, params, vocab: PairVocab, batch_size: int,
+           avocab=common_atom_vocab, seed: int = 0, **kwargs):
+    """Sample from the prior (reference ``sample``)."""
+    return sample_prior(model, params, vocab, avocab, batch_size,
+                        rng=np.random.default_rng(seed), **kwargs)
+
+
+def optimize_recs(model, params, mb, vocab: PairVocab,
+                  avocab=common_atom_vocab, optimize_type: str = 'hard',
+                  **opt_kwargs):
+    """Latent property-optimization + decode (reference ``optimize_recs``)."""
+    from ..latent.control import LatentOptimizer
+    batch = jax.tree.map(jnp.asarray, to_model_batch(mb, vocab.mask, pad=False))
+    z, _ = encode(model, params, batch, perturb=False)
+    opt = LatentOptimizer(model, params, optimize_type=optimize_type,
+                          **opt_kwargs)
+    z_opt = opt.optimize(z, mb.homos, mb.lumos)
+    props = model.apply(params, z_opt,
+                        method=lambda m, zz: m.predict_properties(zz))
+    decode_fn = decode_hier if _is_hier(model) else decode_motif
+    out = decode_fn(model, params, vocab, avocab, np.asarray(z_opt),
+                    greedy=True, max_decode_step=150)
+    return (np.asarray(props[0]), np.asarray(props[1])), out

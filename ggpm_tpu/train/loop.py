@@ -63,22 +63,48 @@ def make_eval_step(model, beta: float = 0.1) -> Callable:
 
 
 class MetricAccumulator:
+    """Accumulates device metric trees without forcing a host sync per step
+    (values are only materialised at ``mean()`` time, so the dispatch
+    pipeline stays full)."""
+
     def __init__(self):
-        self.sums: Dict[str, float] = {}
-        self.count = 0
+        self.pending = []
 
     def add(self, metrics: Dict[str, Any]) -> None:
-        for k, v in metrics.items():
-            self.sums[k] = self.sums.get(k, 0.0) + float(v)
-        self.count += 1
+        self.pending.append(metrics)
 
     def mean(self) -> Dict[str, float]:
-        if self.count == 0:
+        if not self.pending:
             return {}
-        return {k: v / self.count for k, v in self.sums.items()}
+        vals = jax.device_get(self.pending)
+        out: Dict[str, float] = {}
+        for m in vals:
+            for k, v in m.items():
+                out[k] = out.get(k, 0.0) + float(v)
+        return {k: v / len(vals) for k, v in out.items()}
 
     def reset(self) -> None:
-        self.sums, self.count = {}, 0
+        self.pending = []
+
+
+def prefetch_batches(iterator, convert, depth: int = 2):
+    """Software pipeline: convert/upload ``depth`` batches ahead of the
+    consumer so H2D transfer overlaps the device step."""
+    import collections
+    buf = collections.deque()
+    it = iter(iterator)
+    try:
+        for _ in range(depth):
+            buf.append(convert(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(convert(next(it)))
+        except StopIteration:
+            pass
+        yield out
 
 
 class Trainer:
@@ -123,22 +149,27 @@ class Trainer:
         acc = MetricAccumulator()
         t0 = time.time()
         mols0 = self.mols_seen
-        for mb in data:
-            batch = self._device_batch(mb)
+        clipped_flags = []  # device scalars; materialised at print boundaries
+        for batch in prefetch_batches(data, self._device_batch):
             self.rng, step_rng = jax.random.split(self.rng)
             params, opt_state, metrics, aux = self.step_fn(
                 params, opt_state, batch, step_rng)
             self.total_step += 1
             self.mols_seen += len(batch['plan']['root_clab'])
             acc.add(metrics)
-            if bool(aux.get('clipped', False)):
-                self.n_clipped += 1
-                if self.n_clipped >= self.clip_break_count:
-                    log(f'[{self.total_step}] negative-loss clip count reached '
-                        f'{self.n_clipped}; aborting run (reference circuit '
-                        f'breaker, vae_fine_tune.py:92-96)')
-                    return params, opt_state, True
+            clipped_flags.append(aux.get('clipped', False))
+            # the circuit breaker is evaluated at print boundaries to keep
+            # the dispatch pipeline free of per-step host syncs (reaction
+            # latency ≤ print_iter steps vs. the reference's per-batch check,
+            # vae_fine_tune.py:92-96)
             if self.total_step % self.print_iter == 0:
+                self.n_clipped += int(sum(int(x) for x in
+                                          jax.device_get(clipped_flags)))
+                clipped_flags = []
+                if self.n_clipped >= self.clip_break_count:
+                    log(f'[{self.total_step}] negative-loss clip count '
+                        f'reached {self.n_clipped}; aborting run')
+                    return params, opt_state, True
                 m = acc.mean()
                 dt = time.time() - t0
                 mps = (self.mols_seen - mols0) / max(dt, 1e-9)
@@ -150,6 +181,11 @@ class Trainer:
                     and self.save_dir:
                 n_iter = self.total_step // self.save_iter - 1
                 ckpt.save_params(params, f'{self.save_dir}/model.{n_iter}')
+        if clipped_flags:
+            self.n_clipped += int(sum(int(x) for x in
+                                      jax.device_get(clipped_flags)))
+            if self.n_clipped >= self.clip_break_count:
+                return params, opt_state, True
         return params, opt_state, False
 
     def evaluate(self, params, data: Iterable) -> Dict[str, float]:

@@ -102,3 +102,17 @@ def test_loss_weigh():
     r, h, l = lw.apply(params, jnp.array(1.0), jnp.array(2.0), jnp.array(3.0))
     # with zero log-vars the scaled losses equal the inputs
     assert float(r) == 1.0 and float(h) == 2.0 and float(l) == 3.0
+
+
+def test_model_api_reconstruct_sample(tiny_model_setup):
+    """Model-level convenience API (reference reconstruct/sample surface)."""
+    from ggpm_tpu.models.api import reconstruct, sample
+    st = tiny_model_setup
+    props, (results, smiles) = reconstruct(
+        st['model'], st['params'], st['batches'][0], st['vocab'],
+        max_decode_step=30)
+    assert props is None  # plain PropertyVAE has no heads
+    assert len(smiles) == len(st['batches'][0].smiles)
+    _, s2 = sample(st['model'], st['params'], st['vocab'], 4,
+                   max_decode_step=20, log_steps=False)
+    assert len(s2) == 4
