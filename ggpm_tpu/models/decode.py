@@ -65,6 +65,14 @@ class MotifDecodeKernel:
         self.topo = dec('dec_topo')
         self.cls = dec('dec_cls')
         self.root_cls = dec('dec_root_cls')
+        _mask = self.mask
+
+        def fused(state, rows, src_clab, pos, bgraph_rows, root_vecs):
+            return model.apply(
+                params, state, rows, src_clab, pos, bgraph_rows, root_vecs,
+                _mask, beam,
+                method=lambda m, *a: m._decoder().dec_update_cls_topk(*a))
+        self.update_cls_topk = jax.jit(fused)
         self._topk = jax.jit(lambda c, i: hier_topk(c, i, self.mask, beam))
 
     def topk(self, cls_scores, icls_scores):
@@ -448,19 +456,19 @@ def decode_motif(model, params, vocab: PairVocab, avocab: Vocab,
                     src_clab[b] = tree.fnode[child, 0]
                     pos_feat[b] = min(nth_child, 19)
 
-        # ---- call 2: message update for the new edges -------------------
+        # ---- call 2 (fused): message update + motif top-k ---------------
         bg_rows = tree.bgraph[new_rows]
-        state = kern.update(state, jnp.asarray(new_rows), jnp.asarray(src_clab),
-                            jnp.asarray(pos_feat), jnp.asarray(bg_rows))
-
-        # ---- motif prediction for expanding samples ---------------------
         if expand_bids:
-            rows = jnp.asarray(new_rows)
-            cls_scores, icls_scores = kern.cls(state, rows, root_vecs)
-            scores, cls_topk, icls_topk = kern.topk(cls_scores, icls_scores)
+            state, scores, cls_topk, icls_topk = kern.update_cls_topk(
+                state, jnp.asarray(new_rows), jnp.asarray(src_clab),
+                jnp.asarray(pos_feat), jnp.asarray(bg_rows), root_vecs)
             scores = np.asarray(scores)
             cls_topk = np.asarray(cls_topk)
             icls_topk = np.asarray(icls_topk)
+        else:
+            state = kern.update(state, jnp.asarray(new_rows),
+                                jnp.asarray(src_clab), jnp.asarray(pos_feat),
+                                jnp.asarray(bg_rows))
 
         for b in expand_bids:
             new_node, fa_node = stack[b][-1], stack[b][-2]

@@ -364,6 +364,18 @@ class MotifDecoder(nn.Module):
         h = self.rnn.hidden(state)
         return self.cls_logits(h[rows], root_vecs)
 
+    def dec_update_cls_topk(self, state, rows, src_clab, pos, bgraph_rows,
+                            root_vecs, vocab_mask, beam: int):
+        """Fused decode step: message update + motif logits + hierarchical
+        top-k in one device call (minimises host↔device roundtrips per
+        decode step)."""
+        from .decode import hier_topk
+        state = self.dec_update(state, rows, src_clab, pos, bgraph_rows)
+        cls_scores, icls_scores = self.dec_cls(state, rows, root_vecs)
+        scores, cls_k, icls_k = hier_topk(cls_scores, icls_scores,
+                                          vocab_mask, beam)
+        return state, scores, cls_k, icls_k
+
     def dec_root_cls(self, root_vecs):
         init = self.root_vecs_to_hidden(root_vecs)
         return self.cls_logits(init, root_vecs)
