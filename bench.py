@@ -16,7 +16,6 @@ the estimate is generous to the reference).
 
 import json
 import os
-import sys
 import time
 
 REFERENCE_MOLS_PER_SEC = 60.0
@@ -47,8 +46,6 @@ def main():
     vocab = PairVocab([(x, y) for x, y, _ in vocab_rows])
 
     batch_size = 20
-    # tensorize in parallel on host
-    from multiprocessing import Pool
     chunks = [data[i:i + batch_size]
               for i in range(0, len(data) - batch_size + 1, batch_size)]
 

@@ -10,7 +10,7 @@ byte-identical to RDKit on exotic systems.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Optional
 
 from .mol import DOUBLE, Mol
 

@@ -15,7 +15,6 @@ from __future__ import annotations
 import re
 from typing import Optional
 
-from .elements import ORGANIC_SUBSET
 from .mol import AROMATIC, DOUBLE, SINGLE, TRIPLE, Atom, Mol
 
 _BRACKET_RE = re.compile(

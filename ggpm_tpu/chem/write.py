@@ -13,7 +13,7 @@ from typing import List, Optional
 
 from .canon import canonical_ranks
 from .elements import ORGANIC_SUBSET, implicit_h_count
-from .mol import DOUBLE, TRIPLE, Mol
+from .mol import Mol
 
 _BOND_SYM = {1: '', 2: '=', 3: '#'}
 

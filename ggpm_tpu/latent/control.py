@@ -15,7 +15,7 @@ differentiates through the property heads w.r.t. the latent halves.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ signature compiles once.
 
 from __future__ import annotations
 
-import math
 import time
 from functools import partial
 from typing import Any, Callable, Dict, Iterable, Optional, Tuple

@@ -22,7 +22,10 @@ def main():
     ap.add_argument('--min-freq', type=int, default=10)
     ap.add_argument('--n-test', type=int, default=60)
     ap.add_argument('--hidden', type=int, default=250)
+    ap.add_argument('--latent', type=int, default=24)
+    ap.add_argument('--batch-size', type=int, default=20)
     ap.add_argument('--out', default='QUALITY.json')
+    ap.add_argument('--limit', type=int, default=0)
     args = ap.parse_args()
 
     import jax
@@ -43,7 +46,13 @@ def main():
     from ggpm_tpu.train.optim import make_optimizer
 
     t_start = time.time()
-    data = read_csv_data(args.data)
+    if args.data.endswith('.txt'):
+        data = [[l.strip(), None, None]
+                for l in open(args.data) if l.strip()]
+    else:
+        data = read_csv_data(args.data)
+    if getattr(args, 'limit', 0):
+        data = data[:args.limit]
     print(f'{len(data)} molecules', flush=True)
 
     vocab_rows, _ = build_vocab([r[0] for r in data], args.min_freq, ncpu=8)
@@ -51,7 +60,7 @@ def main():
     print(f'vocab {vocab.size()}', flush=True)
 
     data = prune_to_vocab(data, vocab)
-    batch_size = 20
+    batch_size = args.batch_size
     batches = []
     for i in range(0, len(data) - batch_size + 1, batch_size):
         try:
@@ -63,7 +72,7 @@ def main():
 
     cfg = ModelConfig(hvocab_size=vocab.size()[0], ivocab_size=vocab.size()[1],
                       rnn_type='LSTM', hidden_size=args.hidden,
-                      embed_size=args.hidden, latent_size=24,
+                      embed_size=args.hidden, latent_size=args.latent,
                       linear_hidden_size=128, depthT=20, diterT=1, dropout=0.0)
     model = PropOptVAE(cfg=cfg)
     opt = make_optimizer(lr=1e-3, clip_norm=20.0, anneal_rate=0.995,

@@ -6,7 +6,7 @@ import pytest
 
 from ggpm_tpu.data.batching import pad_batch, to_model_batch
 from ggpm_tpu.graph.mol_graph import MolGraph, tensorize
-from ggpm_tpu.graph.vocab import PairVocab, common_atom_vocab
+from ggpm_tpu.graph.vocab import common_atom_vocab
 
 
 def test_decomposition_invariants(golden_smiles):

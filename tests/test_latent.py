@@ -7,7 +7,7 @@ import pytest
 
 from ggpm_tpu.data.batching import to_model_batch
 from ggpm_tpu.latent.control import LatentOptimizer
-from ggpm_tpu.models.vae import ModelConfig, PropOptVAE
+from ggpm_tpu.models.vae import PropOptVAE
 
 
 @pytest.fixture(scope='module')

@@ -2,7 +2,6 @@
 implementation.  Skipped when the shared library hasn't been built
 (``make -C native``)."""
 
-import os
 
 import pytest
 

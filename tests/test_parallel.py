@@ -3,7 +3,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from ggpm_tpu.data.batching import to_model_batch
 from ggpm_tpu.parallel.mesh import (make_dp_train_step, make_mesh,
