@@ -1,0 +1,94 @@
+"""End-to-end CLI pipeline tests on a tiny dataset: vocab extraction →
+preprocessing shards → DataFolder → training driver → reconstruction."""
+
+import csv
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope='module')
+def tiny_csv(tmp_path_factory, small_train_data):
+    d = tmp_path_factory.mktemp('clidata')
+    path = d / 'train.csv'
+    with open(path, 'w', newline='') as f:
+        w = csv.writer(f)
+        w.writerow(['SMILES', 'HOMO', 'LUMO'])
+        for s, h, l in small_train_data:
+            w.writerow([s, h, l])
+    return str(path), str(d)
+
+
+def test_get_vocab_cli(tiny_csv):
+    from ggpm_tpu.cli.get_vocab import main
+    path, d = tiny_csv
+    out = os.path.join(d, 'vocab.txt')
+    main(['--data', path, '--output', out, '--min_frequency', '5'])
+    lines = open(out).read().splitlines()
+    assert len(lines) > 10
+    assert all(len(l.split()) == 3 for l in lines)
+
+
+def test_preprocess_and_datafolder(tiny_csv):
+    from ggpm_tpu.cli.get_vocab import main as vocab_main
+    from ggpm_tpu.cli.preprocess import main as prep_main
+    from ggpm_tpu.data.dataset import DataFolder
+    path, d = tiny_csv
+    vocab_path = os.path.join(d, 'vocab2.txt')
+    vocab_main(['--data', path, '--output', vocab_path, '--min_frequency', '5'])
+    shard_dir = os.path.join(d, 'shards')
+    prep_main(['--train', path, '--vocab', vocab_path, '--out-dir', shard_dir,
+               '--batch_size', '8', '--ncpu', '1'])
+    assert os.listdir(shard_dir)
+    batches = list(DataFolder(shard_dir, 8, seed=0))
+    assert len(batches) >= 2
+    mb = batches[0]
+    assert mb.tree.fnode.shape[0] % 32 == 0  # bucket-padded
+    # sharded reads partition the files
+    n_all = len(DataFolder(shard_dir, 8).data_files)
+    n_0 = len(DataFolder(shard_dir, 8, num_shards=2, shard_index=0).data_files)
+    n_1 = len(DataFolder(shard_dir, 8, num_shards=2, shard_index=1).data_files)
+    assert n_0 + n_1 == n_all
+
+
+def test_vae_train_cli(tiny_csv, tmp_path):
+    from ggpm_tpu.cli.get_vocab import main as vocab_main
+    from ggpm_tpu.cli.vae_train import main as train_main
+    path, d = tiny_csv
+    vocab_path = os.path.join(d, 'vocab3.txt')
+    vocab_main(['--data', path, '--output', vocab_path, '--min_frequency', '5'])
+    cfg = {
+        'vocab_': vocab_path, 'atom_vocab_': None,
+        'save_dir': str(tmp_path / 'ckpt'),
+        'saved_model': None, 'load_epoch': -1,
+        'rnn_type': 'LSTM', 'hidden_size': 48, 'embed_size': 48,
+        'latent_size': 12, 'linear_hidden_size': 32,
+        'batch_size': 8, 'depthT': 3, 'depthG': 3, 'diterT': 1, 'diterG': 1,
+        'dropout': 0.0, 'lr': 1e-3, 'clip_norm': 20.0, 'beta': 0.1,
+        'epoch': 1, 'anneal_rate': 0.9, 'print_iter': 1000, 'save_iter': -1,
+        'seed': 1,
+    }
+    cfg_path = str(tmp_path / 'cfg.json')
+    with open(cfg_path, 'w') as f:
+        json.dump(cfg, f)
+    params = train_main(['--path-to-config', cfg_path, '--model-type', 'prop',
+                         '--data-csv', path])
+    assert params is not None
+    assert os.path.exists(str(tmp_path / 'ckpt' / 'model.0'))
+
+
+def test_configs_roundtrip(tmp_path):
+    from ggpm_tpu.configs import Configs
+    cfg = {'save_dir': str(tmp_path / 'sd'), 'lr': 1e-3, 'hidden_size': 250,
+           'vocab_': 'x.txt'}
+    p = str(tmp_path / 'c.json')
+    with open(p, 'w') as f:
+        json.dump(cfg, f)
+    c = Configs(path=p)
+    assert c.lr == 1e-3 and c.hidden_size == 250
+    assert os.path.isdir(c.save_dir)
+    c.to_json(str(tmp_path / 'out.json'))
+    c2 = Configs(path=str(tmp_path / 'out.json'))
+    assert c2.hidden_size == 250
