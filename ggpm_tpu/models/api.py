@@ -64,6 +64,56 @@ def sample(model, params, vocab: PairVocab, batch_size: int,
                         rng=np.random.default_rng(seed), **kwargs)
 
 
+def reconstruct_enum_roots(model, params, smiles_list, vocab: PairVocab,
+                           avocab=common_atom_vocab, max_roots: int = 6,
+                           max_decode_step: int = 150, **kwargs):
+    """Robust reconstruction via root enumeration (the reference's
+    MolEnumRootDataset protocol, dataset.py:46-75 + vae_test harness):
+    re-root each input SMILES at its leaves, encode/decode every rooting, and
+    report success if any decode reproduces the molecule.
+
+    Returns [(original, best_decode, matched_bool)].
+    """
+    from ..chem import canon_smiles, get_mol, mol_to_smiles
+    from ..data.dataset import prune_to_vocab
+    from ..graph.chemutils import get_leaves
+    from ..graph.mol_graph import tensorize
+
+    out = []
+    for smiles in smiles_list:
+        mol = get_mol(smiles)
+        if mol is None:
+            out.append((smiles, None, False))
+            continue
+        roots = get_leaves(mol)[:max_roots]
+        variants = sorted({mol_to_smiles(mol, root=i) for i in roots}) or [smiles]
+        safe = prune_to_vocab([[v, None, None] for v in variants], vocab,
+                              verbose=False)
+        if not safe:
+            out.append((smiles, None, False))
+            continue
+        mb = tensorize(safe, vocab, avocab)
+        batch = jax.tree.map(jnp.asarray,
+                             to_model_batch(mb, vocab.mask, pad=False))
+        z, _ = encode(model, params, batch, perturb=False)
+        decode_fn = decode_hier if _is_hier(model) else decode_motif
+        _, decoded = decode_fn(model, params, vocab, avocab, np.asarray(z),
+                               greedy=True, max_decode_step=max_decode_step,
+                               log_steps=False, **kwargs)
+        target = canon_smiles(smiles)
+        best, matched = None, False
+        for d in decoded:
+            if d is None:
+                continue
+            if best is None:
+                best = d
+            if canon_smiles(d) == target:
+                best, matched = d, True
+                break
+        out.append((smiles, best, matched))
+    return out
+
+
 def optimize_recs(model, params, mb, vocab: PairVocab,
                   avocab=common_atom_vocab, optimize_type: str = 'hard',
                   **opt_kwargs):

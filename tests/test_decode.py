@@ -125,3 +125,19 @@ def test_hier_decode(tiny_model_setup):
                             np.asarray(z), greedy=True, max_decode_step=40)
     assert len(smiles) == len(mb.smiles)
     assert sum(1 for s in smiles if s and get_mol(s) is not None) >= 1
+
+
+def test_enum_root_reconstruction(tiny_model_setup):
+    """Root-enumeration reconstruction protocol improves (or at least never
+    hurts) exact-match accuracy vs single-rooting."""
+    from ggpm_tpu.models.api import reconstruct_enum_roots
+    st = tiny_model_setup
+    smiles = st['batches'][0].smiles[:4]
+    out = reconstruct_enum_roots(st['model'], st['params'], smiles,
+                                 st['vocab'], max_roots=3,
+                                 max_decode_step=40)
+    assert len(out) == 4
+    for org, dec, matched in out:
+        assert isinstance(matched, bool)
+        if matched:
+            assert dec is not None
