@@ -63,13 +63,21 @@ def pad_level(lv: LevelTensors, n_nodes: int, n_mess: int, n_nb: int,
     return out
 
 
-def pad_plan(plan: DecodePlan, n_steps: int, max_cls_bucket: int) -> DecodePlan:
-    def padT(a):
-        out = np.zeros((n_steps,) + a.shape[1:], dtype=a.dtype)
-        out[:a.shape[0]] = a
+def pad_plan(plan: DecodePlan, n_steps: int, cand_width: int) -> DecodePlan:
+    """Pad step count and candidate/cluster table widths.  ``max_cls_size``
+    itself stays exact — it enters the loss as a traced scalar (array input,
+    no recompile cost), and inflating it would add pad slots to the assembly
+    cross-entropy, changing the loss."""
+    def padT(a, width=None):
+        shape = [n_steps] + list(a.shape[1:])
+        if width is not None:
+            shape[2] = max(width, shape[2])
+        out = np.zeros(tuple(shape), dtype=a.dtype)
+        out[tuple(slice(0, s) for s in a.shape)] = a
         return out
-    def padT_opt(a):
-        return None if a is None else padT(a)
+
+    def padT_opt(a, width=None):
+        return None if a is None else padT(a, width)
 
     return DecodePlan(
         active=padT(plan.active), xid=padT(plan.xid), mess=padT(plan.mess),
@@ -79,27 +87,40 @@ def pad_plan(plan: DecodePlan, n_steps: int, max_cls_bucket: int) -> DecodePlan:
         assm_n_icls=np.maximum(padT(plan.assm_n_icls), 1),
         assm_nth=padT(plan.assm_nth),
         root_clab=plan.root_clab, root_ilab=plan.root_ilab,
-        max_cls_size=max(plan.max_cls_size, max_cls_bucket),
-        gstep_nodes=padT_opt(plan.gstep_nodes),
-        gstep_mess=padT_opt(plan.gstep_mess),
-        assm_cands=padT_opt(plan.assm_cands),
-        assm_cand_ok=padT_opt(plan.assm_cand_ok))
+        max_cls_size=plan.max_cls_size,
+        gstep_nodes=padT_opt(plan.gstep_nodes, 32),
+        gstep_mess=padT_opt(plan.gstep_mess, 80),
+        assm_cands=padT_opt(plan.assm_cands, cand_width),
+        assm_cand_ok=padT_opt(plan.assm_cand_ok, cand_width))
+
+
+# Joint size-class base shapes: every batch pads to BASE × 2^k for the
+# smallest k covering all of its data-proportional dims.  One compile
+# signature per size class (independent per-dim rounding multiplies
+# signatures and, with slow AOT compiles, dominates wall-clock).
+_BASE = {'nt': 32, 'mt': 64, 'ng': 128, 'mg': 256, 'ts': 16}
 
 
 def pad_batch(mb: MolGraphBatch) -> MolGraphBatch:
-    """Pad a MolGraphBatch to bucket shapes (pure numpy, host-side)."""
+    """Pad a MolGraphBatch to joint bucket shapes (pure numpy, host-side)."""
     t, g, p = mb.tree, mb.graph, mb.plan
-    nt = _round_up(t.fnode.shape[0], minimum=32)
-    mt = _round_up(t.fmess.shape[0], minimum=64)
-    at = _round_up(max(t.agraph.shape[1], t.bgraph.shape[1]), minimum=6)
-    ct = _round_up(t.cgraph.shape[1], minimum=8)
-    ng = _round_up(g.fnode.shape[0], minimum=64)
-    mg = _round_up(g.fmess.shape[0], minimum=128)
-    ag = _round_up(max(g.agraph.shape[1], g.bgraph.shape[1]), minimum=6)
-    ts = _round_up(p.active.shape[0], minimum=16)
-    tree = pad_level(t, nt, mt, at, ct)
-    graph = pad_level(g, ng, mg, ag)
-    plan = pad_plan(p, ts, _round_up(p.max_cls_size, minimum=8))
+    need = {'nt': t.fnode.shape[0], 'mt': t.fmess.shape[0],
+            'ng': g.fnode.shape[0], 'mg': g.fmess.shape[0],
+            'ts': p.active.shape[0]}
+    f = 1
+    for key, base in _BASE.items():
+        while base * f < need[key]:
+            f *= 2
+    dims = {k: _BASE[k] * f for k in _BASE}
+    # widths are data-bounded, not size-proportional: fixed small ladder
+    at = _round_up(max(t.agraph.shape[1], t.bgraph.shape[1]), minimum=8)
+    ct = _round_up(t.cgraph.shape[1], minimum=16)
+    ag = _round_up(max(g.agraph.shape[1], g.bgraph.shape[1]), minimum=8)
+    tree = pad_level(t, dims['nt'], dims['mt'], at, ct)
+    graph = pad_level(g, dims['ng'], dims['mg'], ag)
+    cand_w = _round_up(p.assm_cands.shape[2] if p.assm_cands is not None
+                       else 16, minimum=16)
+    plan = pad_plan(p, dims['ts'], cand_w)
     return MolGraphBatch(smiles=mb.smiles, tree=tree, graph=graph, plan=plan,
                          homos=mb.homos, lumos=mb.lumos)
 
