@@ -64,6 +64,7 @@ class MotifDecoder(nn.Module):
     latent_size: int = 24
     diterT: int = 1
     dropout: float = 0.0
+    remat: bool = False      # rematerialise the scan step (memory ↓, FLOPs ↑)
     E_c: Optional[nn.Module] = None
     E_i: Optional[nn.Module] = None
 
@@ -173,7 +174,9 @@ class MotifDecoder(nn.Module):
             cls_h = h[rows]
             return state, (node_h, cls_h)
 
-        _, (topo_vecs, cls_vecs) = jax.lax.scan(step, state, (mess, xid, active))
+        step_fn = jax.checkpoint(step) if self.remat else step
+        _, (topo_vecs, cls_vecs) = jax.lax.scan(step_fn, state,
+                                                (mess, xid, active))
         return self._losses(plan, root_vecs, init_vecs, vocab_mask,
                             topo_vecs, cls_vecs, batch_size, deterministic)
 

@@ -45,6 +45,7 @@ class HierDecoder(nn.Module):
     diterT: int = 1
     diterG: int = 3
     dropout: float = 0.0
+    remat: bool = False      # rematerialise the scan step (memory ↓, FLOPs ↑)
     E_c: Optional[nn.Module] = None
     E_i: Optional[nn.Module] = None
 
@@ -220,7 +221,8 @@ class HierDecoder(nn.Module):
         xs = (plan['mess'], plan['xid'], plan['gstep_mess'],
               plan['gstep_nodes'], plan['assm_cands'], plan['assm_cand_ok'],
               plan['assm_icls'], plan['assm_n_icls'], plan['assm_nth'])
-        _, (topo_vecs, cls_vecs, cand_scores) = jax.lax.scan(step, carry, xs)
+        step_fn = jax.checkpoint(step) if self.remat else step
+        _, (topo_vecs, cls_vecs, cand_scores) = jax.lax.scan(step_fn, carry, xs)
 
         # ---- losses (identical head structure to the motif decoder) ------
         T = topo_vecs.shape[0]

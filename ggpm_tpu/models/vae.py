@@ -30,7 +30,7 @@ class ModelConfig:
                  latent_size: int = 24, linear_hidden_size: int = 128,
                  depthT: int = 20, depthG: int = 20, diterT: int = 1, diterG: int = 5,
                  dropout: float = 0.0, tie_embedding: bool = True,
-                 loss_scaling: bool = False):
+                 loss_scaling: bool = False, remat: bool = False):
         self.hvocab_size = hvocab_size
         self.ivocab_size = ivocab_size
         self.atom_vocab_size = atom_vocab_size
@@ -46,6 +46,7 @@ class ModelConfig:
         self.dropout = dropout
         self.tie_embedding = tie_embedding
         self.loss_scaling = loss_scaling
+        self.remat = remat
 
     @classmethod
     def from_configs(cls, configs, vocab):
@@ -64,6 +65,7 @@ class ModelConfig:
             dropout=getattr(configs, 'dropout', 0.0),
             tie_embedding=getattr(configs, 'tie_embedding', True),
             loss_scaling=getattr(configs, 'loss_scaling', False),
+            remat=getattr(configs, 'remat', False),
         )
 
 
@@ -85,7 +87,7 @@ class PropertyVAE(nn.Module):
             atom_vocab_size=c.atom_vocab_size, rnn_type=c.rnn_type,
             embed_size=c.embed_size, hidden_size=c.hidden_size,
             latent_size=c.latent_size, diterT=c.diterT, dropout=c.dropout,
-            E_c=ec, E_i=ei)
+            remat=c.remat, E_c=ec, E_i=ei)
         self.encoder = MotifEncoder(
             hvocab_size=c.hvocab_size, ivocab_size=c.ivocab_size,
             atom_vocab_size=c.atom_vocab_size, rnn_type=c.rnn_type,
@@ -230,7 +232,7 @@ class HierPropertyVAE(nn.Module):
             atom_vocab_size=c.atom_vocab_size, rnn_type=c.rnn_type,
             embed_size=c.embed_size, hidden_size=c.hidden_size,
             latent_size=c.latent_size, diterT=c.diterT, diterG=c.diterG,
-            dropout=c.dropout, E_c=ec, E_i=ei)
+            dropout=c.dropout, remat=c.remat, E_c=ec, E_i=ei)
         self.R_mean = nn.Dense(c.latent_size)
         self.R_var = nn.Dense(c.latent_size)
 
