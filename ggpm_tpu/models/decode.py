@@ -14,9 +14,7 @@ reference's stable-sort enumeration order — no device round-trip needed.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from functools import partial
-from typing import Any, Dict, List, Optional
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -77,12 +75,6 @@ class MotifDecodeKernel:
 
     def topk(self, cls_scores, icls_scores):
         return self._topk(cls_scores, icls_scores)
-
-
-@dataclass
-class DecodeResult:
-    smiles: Optional[str]
-    logs: List[Dict[str, Any]] = field(default_factory=list)
 
 
 class HierDecodeKernel:
