@@ -80,20 +80,32 @@ def main(argv=None):
         patience=configs.get('early_stop_patience', 5), verbose=True,
         path=os.path.join(configs.save_dir, 'model.best'))
 
+    # in-epoch validation cadence (reference vae_fine_tune.py:121-148
+    # validates every eval_iter steps); default = once per epoch
+    eval_iter = configs.get('eval_iter', None) or len(train_batches)
+    chunks = [train_batches[i:i + eval_iter]
+              for i in range(0, len(train_batches), eval_iter)]
+
+    stop = False
     for epoch in range(configs.get('epoch', 20)):
-        params, opt_state, broke = trainer.train_epoch(
-            params, opt_state, train_batches, epoch)
-        if broke:
-            print('Negative-loss circuit breaker tripped; stopping.')
-            break
-        if val_batches:
-            val = trainer.evaluate(params, val_batches)
-            print(f'[epoch {epoch}] val ' +
-                  ', '.join(f'{k}: {v:.3f}' for k, v in sorted(val.items())))
-            early(val['Loss'], params)
-            if early.early_stop:
-                print('Early stopping.')
+        for chunk in chunks:
+            params, opt_state, broke = trainer.train_epoch(
+                params, opt_state, chunk, epoch)
+            if broke:
+                print('Negative-loss circuit breaker tripped; stopping.')
+                stop = True
                 break
+            if val_batches:
+                val = trainer.evaluate(params, val_batches)
+                print(f'[epoch {epoch} step {trainer.total_step}] val ' +
+                      ', '.join(f'{k}: {v:.3f}' for k, v in sorted(val.items())))
+                early(val['Loss'], params)
+                if early.early_stop:
+                    print('Early stopping.')
+                    stop = True
+                    break
+        if stop:
+            break
         ckpt.save_params(params, os.path.join(configs.save_dir, f'model.{epoch}'))
     return params
 

@@ -141,7 +141,14 @@ class Trainer:
     def _device_batch(self, mb) -> Dict:
         if not isinstance(mb, dict):
             mb = to_model_batch(mb, self.vocab_mask, pad=False)
-        return jax.tree.map(jnp.asarray, mb)
+        # the vocab mask is large (hvocab × ivocab, ~84MB at full scale) and
+        # constant: upload once and share the device buffer across steps
+        if getattr(self, '_mask_dev', None) is None:
+            self._mask_dev = jnp.asarray(mb['vocab_mask'])
+        out = {k: jax.tree.map(jnp.asarray, v) for k, v in mb.items()
+               if k != 'vocab_mask'}
+        out['vocab_mask'] = self._mask_dev
+        return out
 
     def train_epoch(self, params, opt_state, data: Iterable,
                     epoch: int = 0, log=print):
