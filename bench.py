@@ -23,8 +23,7 @@ REFERENCE_MOLS_PER_SEC = 60.0
 
 def main():
     import jax
-    import numpy as np
-
+    
     t_setup = time.time()
     from ggpm_tpu.cli.common import read_csv_data
     from ggpm_tpu.data.batching import pad_batch

@@ -19,7 +19,6 @@ def main():
     ap.add_argument('--epochs', type=int, default=60)
     args = ap.parse_args()
 
-    import jax
     import numpy as np
 
     from ggpm_tpu.chem import canon_smiles
@@ -29,7 +28,6 @@ def main():
     from ggpm_tpu.eval.metrics import Metrics
     from ggpm_tpu.graph.mol_graph import tensorize
     from ggpm_tpu.graph.vocab import PairVocab, common_atom_vocab
-    from ggpm_tpu.latent.control import LatentOptimizer
     from ggpm_tpu.models.api import optimize_recs, reconstruct, sample
     from ggpm_tpu.models.vae import ModelConfig, PropOptVAE
     from ggpm_tpu.train.loop import Trainer

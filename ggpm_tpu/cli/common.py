@@ -4,14 +4,12 @@ from __future__ import annotations
 
 import csv
 import os
-from typing import List, Optional, Tuple
+from typing import List
 
 import jax
-import numpy as np
 
 from ..configs import Configs
 from ..data.vocab_extract import load_vocab_file
-from ..graph.vocab import PairVocab, common_atom_vocab
 from ..models.vae import ModelConfig, OPVNet
 from ..train import checkpoint as ckpt
 

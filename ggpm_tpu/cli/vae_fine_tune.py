@@ -18,7 +18,7 @@ from ..graph.vocab import common_atom_vocab
 from ..train import checkpoint as ckpt
 from ..train.loop import Trainer
 from ..train.optim import default_group_fn, make_multi_optimizer, make_optimizer
-from .common import init_params, maybe_load_pretrained, read_csv_data, setup_model
+from .common import maybe_load_pretrained, read_csv_data, setup_model
 
 
 def main(argv=None):

@@ -15,13 +15,13 @@ import os
 
 from ..configs import Configs
 from ..data.batching import pad_batch
-from ..data.dataset import DataFolder, MoleculeDataset, prune_to_vocab
+from ..data.dataset import DataFolder, prune_to_vocab
 from ..graph.mol_graph import tensorize
 from ..graph.vocab import common_atom_vocab
 from ..train import checkpoint as ckpt
 from ..train.loop import Trainer
 from ..train.optim import make_optimizer
-from .common import init_params, maybe_load_pretrained, read_csv_data, setup_model
+from .common import maybe_load_pretrained, read_csv_data, setup_model
 
 
 def main(argv=None):

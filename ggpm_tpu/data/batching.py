@@ -12,8 +12,6 @@ real messages) are re-based when the message table grows.
 
 from __future__ import annotations
 
-import math
-from dataclasses import replace
 from typing import Dict, Optional
 
 import numpy as np

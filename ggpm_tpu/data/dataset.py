@@ -12,9 +12,9 @@ import gc
 import os
 import pickle
 import random
-from typing import Iterable, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
-from ..chem import get_mol, get_smiles_aromatic, mol_to_smiles
+from ..chem import get_mol, mol_to_smiles
 from ..graph.chemutils import get_leaves
 from ..graph.mol_graph import MolGraph, tensorize
 

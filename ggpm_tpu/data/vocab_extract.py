@@ -12,7 +12,7 @@ import pickle
 import random
 from collections import Counter
 from multiprocessing import Pool
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 from ..chem import canon_smiles, get_mol
 from ..graph.chemutils import find_fragments

@@ -15,7 +15,7 @@ Implemented here on the ggpm_tpu chem kernel.  Deviations (documented):
 from __future__ import annotations
 
 from collections import Counter
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

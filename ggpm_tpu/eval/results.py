@@ -9,7 +9,7 @@ PNG rendering is out of scope (no depiction backend offline).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 import pandas as pd

@@ -15,7 +15,7 @@ teacher-forced decoder run as a single ``jax.lax.scan`` on device.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Set, Tuple
 
 import networkx as nx

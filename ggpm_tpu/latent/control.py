@@ -15,8 +15,6 @@ differentiates through the property heads w.r.t. the latent halves.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -157,7 +155,6 @@ def control_decode(model, params, vocab, avocab, batch, homos, lumos,
     """encode → latent search → property prediction → decode
     (reference PropertyVAEOptimizer.forward, property_control.py:33-63)."""
     import jax.numpy as jnp
-    from .. import models
     from ..models.decode import decode_motif
 
     z, _ = model.apply(params, batch['tree'],

@@ -28,7 +28,7 @@ Equivalences exploited (verified against the reference):
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import flax.linen as nn
 import jax

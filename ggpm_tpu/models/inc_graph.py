@@ -16,7 +16,7 @@ import numpy as np
 
 from ..chem import Atom, Mol, atom_equal, bond_match, copy_atom, get_mol, \
     get_smiles_aromatic, get_sub_mol, sanitize_in_place
-from ..graph.chemutils import get_anchor_smiles, is_anchor
+from ..graph.chemutils import get_anchor_smiles
 
 
 class IncBase:

@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 TILE_N = 8           # nodes per grid step (one sublane group)
 

@@ -10,7 +10,7 @@ jit-compatible) form of N independent Adam+decay optimizers.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import jax
 import optax

@@ -67,7 +67,6 @@ def golden_vocab(golden_smiles):
 @pytest.fixture(scope='session')
 def tiny_model_setup(small_train_data):
     """A small trained PropertyVAE + vocab over the 24-molecule set."""
-    import jax.numpy as jnp
     from ggpm_tpu.data.batching import pad_batch
     from ggpm_tpu.data.vocab_extract import build_vocab
     from ggpm_tpu.graph.mol_graph import tensorize

@@ -3,10 +3,10 @@ editing, fingerprints."""
 
 import pytest
 
-from ggpm_tpu.chem import (Mol, Atom, canon_smiles, canonical_ranks, get_mol,
+from ggpm_tpu.chem import (Atom, canon_smiles, canonical_ranks, get_mol,
                            get_smiles, get_smiles_aromatic, get_sub_mol,
-                           mol_from_smiles, morgan_bits, sanitize_in_place,
-                           tanimoto, tanimoto_smiles)
+                           morgan_bits, sanitize_in_place, tanimoto,
+                           tanimoto_smiles)
 
 
 CASES = [

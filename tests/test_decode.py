@@ -101,7 +101,7 @@ def test_hier_decode(tiny_model_setup):
     model."""
     import jax
     from ggpm_tpu.models.decode import decode_hier
-    from ggpm_tpu.models.vae import HierPropertyVAE, ModelConfig
+    from ggpm_tpu.models.vae import HierPropertyVAE
     from ggpm_tpu.train.loop import Trainer
     from ggpm_tpu.train.optim import make_optimizer
     st = tiny_model_setup

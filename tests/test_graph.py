@@ -4,7 +4,7 @@ molecules, vocabulary, tensorization shapes, padding."""
 import numpy as np
 import pytest
 
-from ggpm_tpu.data.batching import pad_batch, to_model_batch
+from ggpm_tpu.data.batching import pad_batch
 from ggpm_tpu.graph.mol_graph import MolGraph, tensorize
 from ggpm_tpu.graph.vocab import common_atom_vocab
 
@@ -103,3 +103,22 @@ def test_fragment_pooling(golden_smiles):
     h = MolGraph(smiles[0])
     assert {a for c in h.clusters for a in c} == set(range(h.mol.num_atoms))
     MolGraph.FRAGMENTS = set()
+
+
+def test_bucket_signature_budget(golden_smiles, golden_vocab):
+    """Joint size-class bucketing keeps the number of distinct compile
+    signatures small across heterogeneous batches (compile-time guard)."""
+    MolGraph.FRAGMENTS = set()
+    sigs = set()
+    for i in range(0, 12, 3):
+        mb = tensorize([[s, None, None] for s in golden_smiles[i:i + 3]],
+                       golden_vocab, common_atom_vocab)
+        pb = pad_batch(mb)
+        sigs.add((pb.tree.fnode.shape, pb.tree.fmess.shape,
+                  pb.graph.fnode.shape, pb.graph.fmess.shape,
+                  pb.plan.active.shape, pb.tree.agraph.shape[1],
+                  pb.tree.cgraph.shape[1], pb.graph.agraph.shape[1]))
+        # joint scaling: message dim is always 2x node dim etc.
+        assert pb.tree.fmess.shape[0] == 2 * pb.tree.fnode.shape[0]
+        assert pb.graph.fmess.shape[0] == 2 * pb.graph.fnode.shape[0]
+    assert len(sigs) <= 3

@@ -8,8 +8,8 @@ import pytest
 from ggpm_tpu.data.batching import to_model_batch
 from ggpm_tpu.graph.mol_graph import MolGraph, tensorize
 from ggpm_tpu.graph.vocab import common_atom_vocab
-from ggpm_tpu.models.vae import (HierPropertyVAE, HierPropOptVAE, ModelConfig,
-                                 OPVNet, PropertyVAE, PropOptVAE)
+from ggpm_tpu.models.vae import (ModelConfig, OPVNet, PropertyVAE,
+                                 PropOptVAE)
 
 
 @pytest.fixture(scope='module')

@@ -9,8 +9,7 @@ import numpy as np
 import pytest
 
 from ggpm_tpu.train import checkpoint as ckpt
-from ggpm_tpu.train.optim import (default_group_fn, make_multi_optimizer,
-                                  make_optimizer)
+from ggpm_tpu.train.optim import default_group_fn, make_multi_optimizer
 
 
 def test_loss_decreases(tiny_model_setup):
