@@ -146,3 +146,20 @@ class EarlyStopping:
                   f'{val_loss:.6f}). Saving model to {self.path}')
         save_params(params, self.path)
         self.val_loss_min = val_loss
+
+
+# -- orbax integration (multi-host / async production checkpointing) --------
+
+def save_params_orbax(params, path: str) -> None:
+    """Checkpoint via orbax (atomic, multi-host aware).  The msgpack
+    ``save_params`` remains the default for single-host runs."""
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), jax.device_get(params), force=True)
+    ckptr.wait_until_finished()
+
+
+def load_params_orbax(template, path: str):
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), target=template)

@@ -109,3 +109,22 @@ def test_lr_schedule():
     assert sched(0) == pytest.approx(1e-3)
     assert sched(100) == pytest.approx(9e-4)
     assert sched(250) == pytest.approx(1e-3 * 0.81)
+
+
+def test_orbax_checkpoint_roundtrip(tiny_model_setup, tmp_path):
+    st = tiny_model_setup
+    path = str(tmp_path / 'orbax_ckpt')
+    ckpt.save_params_orbax(st['params'], path)
+    loaded = ckpt.load_params_orbax(st['params'], path)
+    for a, b in zip(jax.tree.leaves(st['params']), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_throughput_meter():
+    from ggpm_tpu.train.profiling import Throughput, param_norm
+    m = Throughput()
+    m.update(20)
+    m.update(20)
+    r = m.rates()
+    assert r['mols_per_sec'] > 0 and r['steps_per_sec'] > 0
+    assert param_norm({'w': jnp.ones(4)}) == 2.0
