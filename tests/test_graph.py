@@ -122,3 +122,28 @@ def test_bucket_signature_budget(golden_smiles, golden_vocab):
         assert pb.tree.fmess.shape[0] == 2 * pb.tree.fnode.shape[0]
         assert pb.graph.fmess.shape[0] == 2 * pb.graph.fnode.shape[0]
     assert len(sigs) <= 3
+
+
+def test_decomposition_golden(golden_smiles):
+    """Frozen decomposition outputs — any silent change to the chem kernel or
+    graph layer that alters clusters/orders/labels breaks vocabulary
+    compatibility with previously trained checkpoints and must be explicit
+    (regenerate tests/goldens/decomposition.json deliberately)."""
+    import json
+    import os
+    path = os.path.join(os.path.dirname(__file__), 'goldens',
+                        'decomposition.json')
+    golden = json.load(open(path))
+    MolGraph.FRAGMENTS = set()
+    for s in golden_smiles:
+        h = MolGraph(s)
+        g = golden[s]
+        assert [sorted(int(a) for a in c) for c in h.clusters] == g['clusters']
+        assert [[int(x), None if y is None else int(y), int(t)]
+                for x, y, t in h.order] == g['order']
+        labels = {str(i): list(d['label'])
+                  for i, d in h.mol_tree.nodes(data=True)}
+        assert labels == g['labels']
+        counts = {str(i): len(d['assm_cands'])
+                  for i, d in h.mol_tree.nodes(data=True)}
+        assert counts == g['assm_cands_count']
