@@ -134,3 +134,29 @@ def test_dataset_parse_rate():
               open('/root/reference/data/polymers/valid.txt')][:150]
     ok = sum(1 for s in smiles if get_mol(s) is not None)
     assert ok >= len(smiles) * 0.99
+
+
+def test_fuzz_roundtrip_dataset_molecules():
+    """Property-based round-trip over a random sample of real dataset
+    molecules: canonical idempotence and kekulé/aromatic equivalence."""
+    import random
+    rng = random.Random(7)
+    pool = [l.strip() for l in
+            open('/root/reference/data/polymers/test.txt')][:2000]
+    sample = rng.sample(pool, 60)
+    for s in sample:
+        m = get_mol(s)
+        if m is None:
+            continue
+        a = get_smiles_aromatic(m)
+        k = get_smiles(m)
+        m2, m3 = get_mol(a), get_mol(k)
+        assert m2 is not None and m3 is not None, s
+        assert get_smiles_aromatic(m2) == a, s
+        assert get_smiles_aromatic(m3) == a, s
+        # random atom-map round trip
+        idx = rng.randrange(m.num_atoms)
+        m.atoms[idx].map_num = 1
+        s_mapped = get_smiles(m)
+        m4 = get_mol(s_mapped)
+        assert m4 is not None and sum(x.map_num for x in m4.atoms) == 1, s

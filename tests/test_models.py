@@ -116,3 +116,26 @@ def test_model_api_reconstruct_sample(tiny_model_setup):
     _, s2 = sample(st['model'], st['params'], st['vocab'], 4,
                    max_decode_step=20, log_steps=False)
     assert len(s2) == 4
+
+
+def test_scheduled_tf1_matches_standard(tiny_model_setup):
+    """With teacher-forcing ratio 1.0 the scheduled decoder must reproduce
+    the standard teacher-forced loss exactly (no coins land)."""
+    from ggpm_tpu.data.batching import to_model_batch
+    st = tiny_model_setup
+    model, params, vocab = st['model'], st['params'], st['vocab']
+    batch = jax.tree.map(jnp.asarray,
+                         to_model_batch(st['batches'][0], vocab.mask, pad=False))
+    rng = jax.random.PRNGKey(3)
+
+    std_loss, _ = model.apply(
+        params, batch['tree'], batch['plan'],
+        jnp.zeros((len(st['batches'][0].smiles), st['cfg'].latent_size)),
+        batch['vocab_mask'], True,
+        method=lambda m, *a: m._decoder()(*a))
+    sched_loss, _ = model.apply(
+        params, batch['tree'], batch['plan'],
+        jnp.zeros((len(st['batches'][0].smiles), st['cfg'].latent_size)),
+        batch['vocab_mask'], 1.0, rng, True,
+        method=lambda m, *a: m._decoder().scheduled_forward(*a))
+    np.testing.assert_allclose(float(std_loss), float(sched_loss), rtol=1e-5)
