@@ -123,6 +123,19 @@ def main():
     ref = [o for o, _ in recon_pairs]
     M = Metrics()
     qual = M.get_recon_n_sample_metrics(gen, ref)
+
+    # prior sampling quality (thesis also reports sample metrics)
+    from ggpm_tpu.models.decode import sample_prior
+    _, sampled = sample_prior(model, params, vocab, common_atom_vocab,
+                              min(40, batch_size * 2),
+                              rng=np.random.default_rng(7),
+                              max_decode_step=120, log_steps=False)
+    qual['prior_sample'] = {
+        'validity': M.validity(sampled),
+        'uniqueness': M.uniqueness(sampled),
+        'diversity': M.internal_diversity(sampled),
+        'SNN_to_train': M.snn(sampled, [r[0] for r in data[:200]]),
+    }
     matches = sum(1 for o, d in recon_pairs
                   if d and canon_smiles(o) == canon_smiles(d))
     qual['recon_accuracy'] = matches / max(len(recon_pairs), 1)

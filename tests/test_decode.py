@@ -141,3 +141,16 @@ def test_enum_root_reconstruction(tiny_model_setup):
         assert isinstance(matched, bool)
         if matched:
             assert dec is not None
+
+
+def test_decode_deterministic(tiny_model_setup):
+    """Greedy decode is deterministic for a fixed latent."""
+    st = tiny_model_setup
+    z = np.zeros((3, st['cfg'].latent_size), dtype=np.float32)
+    _, s1 = decode_motif(st['model'], st['params'], st['vocab'],
+                         common_atom_vocab, z, greedy=True,
+                         max_decode_step=30, log_steps=False)
+    _, s2 = decode_motif(st['model'], st['params'], st['vocab'],
+                         common_atom_vocab, z, greedy=True,
+                         max_decode_step=30, log_steps=False)
+    assert s1 == s2
