@@ -25,20 +25,29 @@ from . import checkpoint as ckpt
 
 
 def make_train_step(model, optimizer, beta: float = 0.1,
-                    perturb_z: bool = True) -> Callable:
-    """Build a jitted (params, opt_state, batch, rng) → (params, opt_state,
-    metrics) step with donated state."""
+                    perturb_z: bool = True,
+                    beta_warmup_steps: int = 0) -> Callable:
+    """Build a jitted (params, opt_state, batch, rng, step_idx) →
+    (params, opt_state, metrics) step with donated state.
 
-    def loss_fn(params, batch, rng):
+    ``beta_warmup_steps`` linearly anneals the KL weight from 0 to ``beta``
+    (standard VAE warmup; the reference trains at fixed β, configs.json:27 —
+    warmup is off by default for parity)."""
+
+    def loss_fn(params, batch, rng, step_idx):
+        if beta_warmup_steps > 0:
+            b = beta * jnp.minimum(step_idx / beta_warmup_steps, 1.0)
+        else:
+            b = beta
         loss, metrics, aux = model.apply(
-            params, batch, beta, rng, perturb_z, False,
+            params, batch, b, rng, perturb_z, False,
             rngs={'dropout': jax.random.fold_in(rng, 1)})
         return loss, (metrics, aux)
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, batch, rng):
+    def step(params, opt_state, batch, rng, step_idx=0):
         (loss, (metrics, aux)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, batch, rng)
+            loss_fn, has_aux=True)(params, batch, rng, step_idx)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
         gnorm = optax_global_norm(grads)
@@ -113,7 +122,8 @@ class Trainer:
     def __init__(self, model, optimizer, vocab_mask: np.ndarray,
                  beta: float = 0.1, print_iter: int = 50,
                  save_dir: Optional[str] = None, save_iter: int = -1,
-                 clip_break_count: int = 5, seed: int = 1):
+                 clip_break_count: int = 5, seed: int = 1,
+                 beta_warmup_steps: int = 0):
         self.model = model
         self.optimizer = optimizer
         self.vocab_mask = np.asarray(vocab_mask)
@@ -123,7 +133,8 @@ class Trainer:
         self.save_iter = save_iter
         self.clip_break_count = clip_break_count
         self.rng = jax.random.PRNGKey(seed)
-        self.step_fn = make_train_step(model, optimizer, beta)
+        self.step_fn = make_train_step(model, optimizer, beta,
+                                       beta_warmup_steps=beta_warmup_steps)
         self.eval_fn = make_eval_step(model, beta)
         self.total_step = 0
         self.n_clipped = 0
@@ -159,7 +170,8 @@ class Trainer:
         for batch in prefetch_batches(data, self._device_batch):
             self.rng, step_rng = jax.random.split(self.rng)
             params, opt_state, metrics, aux = self.step_fn(
-                params, opt_state, batch, step_rng)
+                params, opt_state, batch, step_rng,
+                jnp.asarray(self.total_step, dtype=jnp.float32))
             self.total_step += 1
             self.mols_seen += len(batch['plan']['root_clab'])
             acc.add(metrics)
