@@ -119,10 +119,14 @@ class HierDecoder(nn.Module):
         pos_tab = pos_onehot(fmess[:, 2])
 
         tree_state = self.tree_rnn.init_state(num_mess, init_vecs)
-        inter_state = self.inter_rnn.init_state(num_mess)
-        graph_state = self.graph_rnn.init_state(num_gmess)
-        hatom = jnp.zeros((num_gnodes, H))
-        hinter_node = jnp.zeros((num_tnodes, H))
+        # vzero ties the zero-initialised carries to the (possibly
+        # device-varying) latent so the scan carry type is stable under
+        # shard_map (unvarying-in / varying-out carries are rejected)
+        vzero = root_vecs[0, 0] * 0.0
+        inter_state = tuple(s + vzero for s in self.inter_rnn.init_state(num_mess))
+        graph_state = tuple(s + vzero for s in self.graph_rnn.init_state(num_gmess))
+        hatom = jnp.zeros((num_gnodes, H)) + vzero
+        hinter_node = jnp.zeros((num_tnodes, H)) + vzero
 
         if self.is_initializing():
             nei_t = tuple(jnp.zeros((1, bgraph_dec.shape[1], H)) for _ in tree_state)

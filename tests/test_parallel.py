@@ -75,3 +75,25 @@ def test_stack_batches_shapes(tiny_model_setup):
     stacked = stack_batches([batch] * 4)
     assert stacked['tree']['fnode'].shape[0] == 4
     assert stacked['vocab_mask'].ndim == 2  # replicated, not stacked
+
+
+def test_dp_step_hier_model(tiny_model_setup):
+    """DP step also runs for the hierarchical model family."""
+    import copy
+    from ggpm_tpu.models.vae import HierPropertyVAE
+    st = tiny_model_setup
+    cfg = copy.copy(st['cfg'])
+    cfg.depthG = 2
+    cfg.diterG = 1
+    model = HierPropertyVAE(cfg=cfg)
+    batch = to_model_batch(st['batches'][0], st['vocab'].mask, pad=False)
+    mesh = make_mesh(8)
+    opt = make_optimizer(lr=1e-3, steps_per_epoch=10)
+    rng = jax.random.PRNGKey(0)
+    params = model.init({'params': rng, 'dropout': rng},
+                        jax.tree.map(jnp.asarray, batch), 0.1, rng, True, False)
+    opt_state = opt.init(params)
+    step = make_dp_train_step(model, opt, mesh, beta=0.1)
+    stacked = shard_model_batches([batch] * 8, mesh)
+    params, opt_state, metrics, aux = step(params, opt_state, stacked, rng)
+    assert np.isfinite(float(metrics['Loss']))
