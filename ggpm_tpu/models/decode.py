@@ -343,8 +343,10 @@ def sample_prior(model, params, vocab: PairVocab, avocab: Vocab,
     if latent_size is None:
         latent_size = model.cfg.latent_size
     z = rng.standard_normal((batch_size, latent_size)).astype(np.float32)
-    return decode_motif(model, params, vocab, avocab, z, greedy=True,
-                        **decode_kwargs)
+    decode_fn = decode_hier if type(model).__name__.startswith('Hier') \
+        else decode_motif
+    return decode_fn(model, params, vocab, avocab, z, greedy=True,
+                     **decode_kwargs)
 
 
 def decode_motif(model, params, vocab: PairVocab, avocab: Vocab,

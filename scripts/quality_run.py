@@ -26,6 +26,8 @@ def main():
     ap.add_argument('--batch-size', type=int, default=20)
     ap.add_argument('--out', default='QUALITY.json')
     ap.add_argument('--limit', type=int, default=0)
+    ap.add_argument('--model', default='prop-opt',
+                    choices=['prop-opt', 'prop', 'hier-prop', 'hier-prop-opt'])
     args = ap.parse_args()
 
     import jax
@@ -40,8 +42,8 @@ def main():
     from ggpm_tpu.eval.metrics import Metrics
     from ggpm_tpu.graph.mol_graph import tensorize
     from ggpm_tpu.graph.vocab import PairVocab, common_atom_vocab
-    from ggpm_tpu.models.decode import decode_motif
-    from ggpm_tpu.models.vae import ModelConfig, PropOptVAE
+    from ggpm_tpu.models.decode import decode_hier, decode_motif
+    from ggpm_tpu.models.vae import ModelConfig, OPVNet
     from ggpm_tpu.train.loop import Trainer
     from ggpm_tpu.train.optim import make_optimizer
 
@@ -70,11 +72,14 @@ def main():
             print('tensorize skip:', e, flush=True)
     print(f'{len(batches)} train batches in {time.time()-t_start:.0f}s', flush=True)
 
+    is_hier = args.model.startswith('hier')
     cfg = ModelConfig(hvocab_size=vocab.size()[0], ivocab_size=vocab.size()[1],
                       rnn_type='LSTM', hidden_size=args.hidden,
                       embed_size=args.hidden, latent_size=args.latent,
-                      linear_hidden_size=128, depthT=20, diterT=1, dropout=0.0)
-    model = PropOptVAE(cfg=cfg)
+                      linear_hidden_size=128, depthT=20, depthG=20,
+                      diterT=1, diterG=3, dropout=0.0)
+    model = OPVNet.get_model(args.model)(cfg=cfg)
+    decode_fn = decode_hier if is_hier else decode_motif
     opt = make_optimizer(lr=1e-3, clip_norm=20.0, anneal_rate=0.995,
                          steps_per_epoch=len(batches))
     trainer = Trainer(model, opt, vocab.mask, beta=0.1, print_iter=500)
@@ -103,19 +108,27 @@ def main():
         chunk = test[i:i + batch_size]
         mb = tensorize(chunk, vocab, common_atom_vocab)
         batch = jax.tree.map(jnp.asarray, to_model_batch(mb, vocab.mask, pad=False))
-        z, _ = model.apply(params, batch['tree'],
-                           method=lambda m, tree: m.encode_latent(tree, perturb=False))
-        hp, lp = model.apply(params, z,
-                             method=lambda m, zz: m.predict_properties(zz))
-        hp, lp = np.asarray(hp), np.asarray(lp)
+        if is_hier:
+            z, _ = model.apply(params, batch['tree'],
+                               method=lambda m, tree: m.encode_latent(
+                                   tree, graph=batch['graph'], perturb=False))
+        else:
+            z, _ = model.apply(params, batch['tree'],
+                               method=lambda m, tree: m.encode_latent(tree, perturb=False))
+        if hasattr(model, 'predict_properties'):
+            hp, lp = model.apply(params, z,
+                                 method=lambda m, zz: m.predict_properties(zz))
+            hp, lp = np.asarray(hp), np.asarray(lp)
+        else:
+            hp = lp = np.full(len(chunk), np.nan)
         for (s, h, l), hh, ll in zip(chunk, hp, lp):
-            if h is not None:
+            if h is not None and np.isfinite(hh):
                 homo_err.append(abs(hh - h))
-            if l is not None:
+            if l is not None and np.isfinite(ll):
                 lumo_err.append(abs(ll - l))
-        _, smiles = decode_motif(model, params, vocab, common_atom_vocab,
-                                 np.asarray(z), greedy=True,
-                                 max_decode_step=150, log_steps=False)
+        _, smiles = decode_fn(model, params, vocab, common_atom_vocab,
+                              np.asarray(z), greedy=True,
+                              max_decode_step=150, log_steps=False)
         recon_pairs += list(zip([c[0] for c in chunk], smiles))
         print(f'decoded {len(recon_pairs)} molecules', flush=True)
 
