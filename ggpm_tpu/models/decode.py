@@ -42,6 +42,75 @@ def hier_topk(cls_scores: jnp.ndarray, icls_scores: jnp.ndarray,
     return fscores, cls_k, icls_k
 
 
+
+def _pick_beam(greedy, beam, scores_row, rng):
+    """Candidate visiting order: greedy rank order or score-weighted shuffle
+    (reference decoder.py:1033)."""
+    if greedy:
+        return range(beam)
+    prob = np.exp(scores_row - scores_row.max())
+    prob = prob / prob.sum()
+    return rng.choice(beam, size=beam, replace=False, p=prob)
+
+
+def _forced_backtrack(tree, stack, b):
+    """Pop the failed node and close the backtrack edges (reference
+    decoder.py:1079-1089)."""
+    child = stack[b].pop()
+    top = stack[b][-1]
+    tree.add_edge(child, top, (child, top, tree.in_degree(top)))
+    child = stack[b].pop()
+    if stack[b]:
+        top = stack[b][-1]
+        tree.add_edge(child, top, (child, top, tree.in_degree(top)))
+
+
+def _try_assemble(tree, graph, vocab, b, new_node, fa_node, cls_beam,
+                  cls_topk_row, icls_topk_row, score_cands, log_entry):
+    """Beam-retry motif assembly with chemical-validity rollback (reference
+    decoder.py:1037-1077).  ``score_cands`` orders multi-candidate sets
+    (None → stable enumeration order, the motif decoder's degenerate case);
+    returns True on success."""
+    try:
+        for kk in cls_beam:
+            clab, ilab = int(cls_topk_row[kk]), int(icls_topk_row[kk])
+            tree.set_node_feature(new_node, (clab, ilab))
+            smiles = vocab.get_smiles(clab)
+            ismiles = vocab.get_ismiles(ilab)
+            fa_cluster, _, fa_used = tree.get_cluster(fa_node)
+            inter_cands, anchor_smiles, attach_points = \
+                graph.get_assm_cands(fa_cluster, fa_used, ismiles)
+            if len(inter_cands) == 0:
+                continue
+            if len(inter_cands) == 1:
+                sorted_cands = [list(inter_cands[0]) if
+                                isinstance(inter_cands[0], (list, tuple))
+                                else list(inter_cands[0])]
+                nth_child = 0
+            else:
+                nth_child = tree.in_degree(fa_node)
+                if score_cands is None:
+                    sorted_cands = [list(c) for c in inter_cands]
+                else:
+                    sorted_cands = score_cands(b, smiles, inter_cands,
+                                               anchor_smiles, nth_child)
+            for inter_label in sorted_cands:
+                pairs = list(zip(inter_label, attach_points))
+                if graph.try_add_mol(b, ismiles, pairs):
+                    new_atoms, new_bonds, attached = graph.add_mol(
+                        b, ismiles, pairs, nth_child)
+                    tree.register_cgraph(new_node, new_atoms, new_bonds,
+                                         attached)
+                    tree.update_attached(fa_node, pairs)
+                    if log_entry is not None:
+                        log_entry['Attaching Fragment'] = (
+                            ismiles, attach_points, pairs)
+                    return True
+    except Exception:
+        pass
+    return False
+
+
 class MotifDecodeKernel:
     """Jit-compiled per-step device functions bound to (model, params)."""
 
@@ -258,74 +327,35 @@ def decode_hier(model, params, vocab: PairVocab, avocab: Vocab,
             cls_topk = np.asarray(cls_topk)
             icls_topk = np.asarray(icls_topk)
 
+        def score_cands(b, smiles, inter_cands, anchor_smiles, nth_child):
+            # device-scored candidate ranking against current atom hiddens
+            icls_ids = np.zeros(2, dtype=np.int32)
+            for j, a_s in enumerate(anchor_smiles[:2]):
+                try:
+                    icls_ids[j] = vocab[(smiles, a_s)][1]
+                except KeyError:
+                    pass
+            cand_arr = np.zeros((cand_cap, 2), dtype=np.int32)
+            use = inter_cands[:cand_cap]
+            for j, c in enumerate(use):
+                cand_arr[j, 0] = c[0]
+                cand_arr[j, 1] = c[-1]
+            sc = np.asarray(kern.assm(
+                state, jnp.asarray(cand_arr), jnp.asarray(icls_ids),
+                jnp.asarray(min(len(anchor_smiles), 2)),
+                jnp.asarray(min(nth_child, 19)), root_vecs[b]))
+            order = np.argsort(-sc[:len(use)], kind='stable')
+            return [list(use[j]) for j in order]
+
         for b in expand_bids:
             new_node, fa_node = stack[b][-1], stack[b][-2]
-            success = False
-            if greedy:
-                cls_beam = range(beam)
-            else:
-                p = np.exp(scores[b] - scores[b].max())
-                p = p / p.sum()
-                cls_beam = rng.choice(beam, size=beam, replace=False, p=p)
-            try:
-                for kk in cls_beam:
-                    if success:
-                        break
-                    clab, ilab = int(cls_topk[b][kk]), int(icls_topk[b][kk])
-                    tree.set_node_feature(new_node, (clab, ilab))
-                    smiles = vocab.get_smiles(clab)
-                    ismiles = vocab.get_ismiles(ilab)
-                    fa_cluster, _, fa_used = tree.get_cluster(fa_node)
-                    inter_cands, anchor_smiles, attach_points = \
-                        graph.get_assm_cands(fa_cluster, fa_used, ismiles)
-                    if len(inter_cands) == 0:
-                        continue
-                    if len(inter_cands) == 1:
-                        sorted_cands = [list(inter_cands[0])]
-                        nth_child = 0
-                    else:
-                        nth_child = tree.in_degree(fa_node)
-                        icls_ids = np.zeros(2, dtype=np.int32)
-                        for j, a_s in enumerate(anchor_smiles[:2]):
-                            try:
-                                icls_ids[j] = vocab[(smiles, a_s)][1]
-                            except KeyError:
-                                pass
-                        cand_arr = np.zeros((cand_cap, 2), dtype=np.int32)
-                        use = inter_cands[:cand_cap]
-                        for j, c in enumerate(use):
-                            cand_arr[j, 0] = c[0]
-                            cand_arr[j, 1] = c[-1]
-                        sc = np.asarray(kern.assm(
-                            state, jnp.asarray(cand_arr), jnp.asarray(icls_ids),
-                            jnp.asarray(min(len(anchor_smiles), 2)),
-                            jnp.asarray(min(nth_child, 19)), root_vecs[b]))
-                        order = np.argsort(-sc[:len(use)], kind='stable')
-                        sorted_cands = [list(use[j]) for j in order]
-                    for inter_label in sorted_cands:
-                        pairs = list(zip(inter_label, attach_points))
-                        if graph.try_add_mol(b, ismiles, pairs):
-                            new_atoms, new_bonds, attached = graph.add_mol(
-                                b, ismiles, pairs, nth_child)
-                            tree.register_cgraph(new_node, new_atoms,
-                                                 new_bonds, attached)
-                            tree.update_attached(fa_node, pairs)
-                            if log_steps:
-                                results[b][-1]['Attaching Fragment'] = (
-                                    ismiles, attach_points, pairs)
-                            success = True
-                            break
-            except Exception:
-                pass
-
-            if not success:
-                child = stack[b].pop()
-                top = stack[b][-1]
-                tree.add_edge(child, top, (child, top, tree.in_degree(top)))
-                child = stack[b].pop()
-                if stack[b]:
-                    top = stack[b][-1]
-                    tree.add_edge(child, top, (child, top, tree.in_degree(top)))
+            cls_beam = _pick_beam(greedy, beam, scores[b], rng)
+            ok = _try_assemble(tree, graph, vocab, b, new_node, fa_node,
+                               cls_beam, cls_topk[b], icls_topk[b],
+                               score_cands,
+                               results[b][-1] if log_steps else None)
+            if not ok:
+                _forced_backtrack(tree, stack, b)
 
     smiles_out = graph.get_smiles()
     while len(smiles_out) < batch_size:
@@ -466,57 +496,18 @@ def decode_motif(model, params, vocab: PairVocab, avocab: Vocab,
 
         for b in expand_bids:
             new_node, fa_node = stack[b][-1], stack[b][-2]
-            success = False
-            if greedy:
-                cls_beam = range(beam)
-            else:
-                p = np.exp(scores[b] - scores[b].max())
-                p = p / p.sum()
-                cls_beam = rng.choice(beam, size=beam, replace=False, p=p)
+            cls_beam = _pick_beam(greedy, beam, scores[b], rng)
             if log_steps:
                 results[b][-1]['top-5-inter-cands'] = [
                     (vocab.get_smiles(int(x)), vocab.get_ismiles(int(y)), float(s))
                     for x, y, s in zip(cls_topk[b], icls_topk[b], scores[b])]
-            try:
-                for kk in cls_beam:
-                    if success:
-                        break
-                    clab, ilab = int(cls_topk[b][kk]), int(icls_topk[b][kk])
-                    tree.set_node_feature(new_node, (clab, ilab))
-                    smiles = vocab.get_smiles(clab)
-                    ismiles = vocab.get_ismiles(ilab)
-                    fa_cluster, _, fa_used = tree.get_cluster(fa_node)
-                    inter_cands, anchor_smiles, attach_points = \
-                        graph.get_assm_cands(fa_cluster, fa_used, ismiles)
-                    if len(inter_cands) == 0:
-                        continue
-                    # candidate scores are identical for the motif decoder →
-                    # the reference's stable sort keeps enumeration order
-                    nth_child = 0 if len(inter_cands) == 1 else tree.in_degree(fa_node)
-                    for inter_label in inter_cands:
-                        pairs = list(zip(inter_label, attach_points))
-                        if graph.try_add_mol(b, ismiles, pairs):
-                            new_atoms, new_bonds, attached = graph.add_mol(
-                                b, ismiles, pairs, nth_child)
-                            tree.register_cgraph(new_node, new_atoms,
-                                                 new_bonds, attached)
-                            tree.update_attached(fa_node, pairs)
-                            if log_steps:
-                                results[b][-1]['Attaching Fragment'] = (
-                                    ismiles, attach_points, pairs)
-                            success = True
-                            break
-            except Exception:
-                pass
-
-            if not success:  # forced backtrack (reference decoder.py:1079-1089)
-                child = stack[b].pop()
-                top = stack[b][-1]
-                tree.add_edge(child, top, (child, top, tree.in_degree(top)))
-                child = stack[b].pop()
-                if stack[b]:
-                    top = stack[b][-1]
-                    tree.add_edge(child, top, (child, top, tree.in_degree(top)))
+            # candidate scores are identical for the motif decoder → the
+            # reference's stable sort keeps enumeration order (score_cands=None)
+            ok = _try_assemble(tree, graph, vocab, b, new_node, fa_node,
+                               cls_beam, cls_topk[b], icls_topk[b], None,
+                               results[b][-1] if log_steps else None)
+            if not ok:  # forced backtrack (reference decoder.py:1079-1089)
+                _forced_backtrack(tree, stack, b)
 
     smiles_out = graph.get_smiles()
     while len(smiles_out) < batch_size:
