@@ -77,7 +77,8 @@ def main():
                       rnn_type='LSTM', hidden_size=args.hidden,
                       embed_size=args.hidden, latent_size=args.latent,
                       linear_hidden_size=128, depthT=20, depthG=20,
-                      diterT=1, diterG=3, dropout=0.0)
+                      diterT=1, diterG=3, dropout=0.0,
+                      remat=is_hier)  # 3-level scan carries OOM without remat
     model = OPVNet.get_model(args.model)(cfg=cfg)
     decode_fn = decode_hier if is_hier else decode_motif
     opt = make_optimizer(lr=1e-3, clip_norm=20.0, anneal_rate=0.995,
@@ -159,6 +160,12 @@ def main():
     print(json.dumps(qual, indent=2, default=float), flush=True)
     with open(args.out, 'w') as f:
         json.dump(qual, f, indent=2, default=float)
+
+    # persist the trained model for downstream CLIs (reconstruct/optimize)
+    from ggpm_tpu.train import checkpoint as ckpt_mod
+    ckpt_mod.save_params(params, args.out + '.ckpt')
+    from ggpm_tpu.data.vocab_extract import write_vocab
+    write_vocab(vocab_rows, args.out + '.vocab.txt')
 
 
 if __name__ == '__main__':
