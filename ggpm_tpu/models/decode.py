@@ -3,9 +3,10 @@
 Host-orchestrated redesign of the reference decode loop
 (/root/reference/ggpm/decoder.py:901-1095).  The reference interleaves
 per-sample Python, RDKit calls, and many small device↔host copies inside the
-loop; here each step runs exactly three fixed-shape jitted device calls
-(message update → topology → motif top-k) on [B]-sized tensors, while motif
-assembly / validity checking stays on host against the chem kernel.
+loop; here each step runs exactly two fixed-shape jitted device calls
+(frontier readout → topology; fused message-update + motif top-k) on
+[B]-sized tensors, while motif assembly / validity checking stays on host
+against the chem kernel.
 
 The assembly scorer is candidate-independent for the motif decoder (see
 ``ggpm_tpu.models.decoder`` docstring), so candidate ranking reduces to the
@@ -83,9 +84,7 @@ def _try_assemble(tree, graph, vocab, b, new_node, fa_node, cls_beam,
             if len(inter_cands) == 0:
                 continue
             if len(inter_cands) == 1:
-                sorted_cands = [list(inter_cands[0]) if
-                                isinstance(inter_cands[0], (list, tuple))
-                                else list(inter_cands[0])]
+                sorted_cands = [list(inter_cands[0])]
                 nth_child = 0
             else:
                 nth_child = tree.in_degree(fa_node)
