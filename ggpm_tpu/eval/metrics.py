@@ -154,6 +154,38 @@ class Metrics:
         sr = [sa_proxy(m) for m in (get_mol(s) for s in ref if s) if m]
         return wasserstein1(sg, sr)
 
+    def fp_frechet(self, gen: Sequence[Optional[str]],
+                   ref: Sequence[str], dims: int = 256) -> float:
+        """Fréchet distance between Gaussian fits of folded Morgan-FP
+        vectors — a dependency-free stand-in for FCD (which requires the
+        pretrained ChemNet activations; unavailable offline).  Lower is
+        better; 0 for identical distributions."""
+        def fp_matrix(smiles_list):
+            rows = []
+            for s in smiles_list:
+                if not s:
+                    continue
+                m = get_mol(s)
+                if m is None:
+                    continue
+                v = np.zeros(dims, dtype=np.float64)
+                for b in morgan_bits(m, self.radius, dims):
+                    v[b] = 1.0
+                rows.append(v)
+            return np.asarray(rows)
+        X, Y = fp_matrix(gen), fp_matrix(ref)
+        if len(X) < 2 or len(Y) < 2:
+            return float('nan')
+        mu1, mu2 = X.mean(0), Y.mean(0)
+        s1 = np.cov(X, rowvar=False) + 1e-6 * np.eye(dims)
+        s2 = np.cov(Y, rowvar=False) + 1e-6 * np.eye(dims)
+        from scipy import linalg
+        covmean = linalg.sqrtm(s1 @ s2)
+        if np.iscomplexobj(covmean):
+            covmean = covmean.real
+        d2 = float(((mu1 - mu2) ** 2).sum() + np.trace(s1 + s2 - 2 * covmean))
+        return max(d2, 0.0)
+
     def get_recon_n_sample_metrics(self, gen: Sequence[Optional[str]],
                                    ref: Sequence[str],
                                    k: Optional[int] = None) -> Dict[str, Optional[float]]:
@@ -166,6 +198,7 @@ class Metrics:
             'MW': self.mw_stat(gen, ref),
             'SA': self.sa_stat(gen, ref),
             'FCD': None,  # requires pretrained ChemNet; unavailable offline
+            'FP-Frechet': self.fp_frechet(gen, ref),
         }
 
     def get_optimization_metrics(self, gen, org_props, new_props,

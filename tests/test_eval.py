@@ -125,3 +125,11 @@ def test_scheduled_model(tiny_model_setup):
     assert np.isfinite(float(loss))
     g = jax.grad(lambda p: model.apply(p, batch, 0.1, rng, True, True, 0.5)[0])(params)
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
+
+
+def test_fp_frechet():
+    m = Metrics()
+    same = m.fp_frechet(REF, REF)
+    diff = m.fp_frechet(['CCCCCCCC', 'CCCCC', 'CCCC', 'CCCCCC'], REF)
+    assert same < 1e-6
+    assert diff > same
