@@ -160,15 +160,16 @@ class HierDecodeKernel:
             return jax.jit(f, static_argnums=static_argnums)
 
         self.init_state = dec('hdec_init', static_argnums=(0, 1, 2, 3))
-        self.graph_update = dec('hdec_graph_update')
-        self.topo = dec('hdec_topo')
+        self.graph_topo = dec('hdec_graph_topo')
         self.mess_update = dec('hdec_mess_update')
-        self.cls = dec('hdec_cls')
         self.assm = dec('hdec_assm')
-        self._topk = jax.jit(lambda c, i: hier_topk(c, i, self.mask, beam))
+        _mask = self.mask
 
-    def topk(self, cls_scores, icls_scores):
-        return self._topk(cls_scores, icls_scores)
+        def fused(state, *args):
+            return model.apply(
+                params, state, *args, _mask, beam,
+                method=lambda m, *a: m._decoder().hdec_mess_cls_topk(*a))
+        self.mess_cls_topk = jax.jit(fused)
 
 
 def decode_hier(model, params, vocab: PairVocab, avocab: Vocab,
@@ -252,17 +253,8 @@ def decode_hier(model, params, vocab: PairVocab, avocab: Vocab,
             g_nodes[b, :len(atoms)] = atoms
         fr = g_rows.reshape(-1)
         fn = g_nodes.reshape(-1)
-        state = kern.graph_update(
-            state, jnp.asarray(g_rows),
-            jnp.asarray(graph.fmess[fr, 0].reshape(g_rows.shape)),
-            jnp.asarray(graph.fmess[fr, 1].reshape(g_rows.shape)),
-            jnp.asarray(graph.fmess[fr, 2].reshape(g_rows.shape)),
-            jnp.asarray(graph.bgraph[fr].reshape(batch_size, ke, g_nb)),
-            jnp.asarray(g_nodes),
-            jnp.asarray(graph.fnode[fn, 0].reshape(g_nodes.shape)),
-            jnp.asarray(graph.agraph[fn].reshape(batch_size, kn, g_nb)))
 
-        # ---- frontier readout → topology --------------------------------
+        # frontier readout arrays (fused with the graph refresh below)
         v_nodes = np.zeros(batch_size, dtype=np.int32)
         v_clab = np.zeros(batch_size, dtype=np.int32)
         v_ilab = np.zeros(batch_size, dtype=np.int32)
@@ -275,10 +267,19 @@ def decode_hier(model, params, vocab: PairVocab, avocab: Vocab,
             v_ilab[b] = tree.fnode[v, 1]
             v_cg[b] = tree.cgraph[v][:kn]
             v_ag[b] = tree.agraph[v]
-        state, topo_logits = kern.topo(
-            state, jnp.asarray(v_nodes), jnp.asarray(v_clab),
-            jnp.asarray(v_ilab), jnp.asarray(v_cg), jnp.asarray(v_ag),
-            root_vecs)
+
+        # ---- fused call 1: atom refresh + frontier topology --------------
+        state, topo_logits = kern.graph_topo(
+            state, jnp.asarray(g_rows),
+            jnp.asarray(graph.fmess[fr, 0].reshape(g_rows.shape)),
+            jnp.asarray(graph.fmess[fr, 1].reshape(g_rows.shape)),
+            jnp.asarray(graph.fmess[fr, 2].reshape(g_rows.shape)),
+            jnp.asarray(graph.bgraph[fr].reshape(batch_size, ke, g_nb)),
+            jnp.asarray(g_nodes),
+            jnp.asarray(graph.fnode[fn, 0].reshape(g_nodes.shape)),
+            jnp.asarray(graph.agraph[fn].reshape(batch_size, kn, g_nb)),
+            jnp.asarray(v_nodes), jnp.asarray(v_clab), jnp.asarray(v_ilab),
+            jnp.asarray(v_cg), jnp.asarray(v_ag), root_vecs)
         topo_logits = np.asarray(topo_logits)
         topo_p = 1.0 / (1.0 + np.exp(-topo_logits))
         topo_pred = topo_p if greedy else \
@@ -309,22 +310,28 @@ def decode_hier(model, params, vocab: PairVocab, avocab: Vocab,
                     src_nodes[b] = child
                     pos_feat[b] = min(nth_child, 19)
 
-        state = kern.mess_update(
-            state, jnp.asarray(new_rows), jnp.asarray(src_nodes),
-            jnp.asarray(tree.fnode[src_nodes, 0]),
-            jnp.asarray(tree.fnode[src_nodes, 1]),
-            jnp.asarray(tree.cgraph[src_nodes][:, :kn]),
-            jnp.asarray(pos_feat),
-            jnp.asarray(tree.bgraph[new_rows]),
-            jnp.asarray(tree.bgraph[new_rows]))
-
+        # ---- fused call 2: message update + motif top-k ------------------
         if expand_bids:
-            cls_scores, icls_scores = kern.cls(state, jnp.asarray(new_rows),
-                                               root_vecs)
-            scores, cls_topk, icls_topk = kern.topk(cls_scores, icls_scores)
+            state, scores, cls_topk, icls_topk = kern.mess_cls_topk(
+                state, jnp.asarray(new_rows), jnp.asarray(src_nodes),
+                jnp.asarray(tree.fnode[src_nodes, 0]),
+                jnp.asarray(tree.fnode[src_nodes, 1]),
+                jnp.asarray(tree.cgraph[src_nodes][:, :kn]),
+                jnp.asarray(pos_feat),
+                jnp.asarray(tree.bgraph[new_rows]),
+                jnp.asarray(tree.bgraph[new_rows]), root_vecs)
             scores = np.asarray(scores)
             cls_topk = np.asarray(cls_topk)
             icls_topk = np.asarray(icls_topk)
+        else:
+            state = kern.mess_update(
+                state, jnp.asarray(new_rows), jnp.asarray(src_nodes),
+                jnp.asarray(tree.fnode[src_nodes, 0]),
+                jnp.asarray(tree.fnode[src_nodes, 1]),
+                jnp.asarray(tree.cgraph[src_nodes][:, :kn]),
+                jnp.asarray(pos_feat),
+                jnp.asarray(tree.bgraph[new_rows]),
+                jnp.asarray(tree.bgraph[new_rows]))
 
         def score_cands(b, smiles, inter_cands, anchor_smiles, nth_child):
             # device-scored candidate ranking against current atom hiddens

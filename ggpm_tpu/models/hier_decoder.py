@@ -402,6 +402,30 @@ class HierDecoder(nn.Module):
         x = jnp.concatenate([th[rows], root_vecs], axis=-1)
         return self.clsNN(x, True), self.iclsNN(x, True)
 
+    # fused variants: one device call per decode half-step (the hier decode
+    # is roundtrip-latency-bound; see decode.HierDecodeKernel)
+    def hdec_graph_topo(self, state, g_rows, g_src_av, g_bt, g_nth,
+                        g_bg_rows, g_nodes, g_node_av, g_ag_rows,
+                        v_nodes, v_clab, v_ilab, v_cgraph, v_ag_rows,
+                        root_vecs):
+        state = self.hdec_graph_update(state, g_rows, g_src_av, g_bt, g_nth,
+                                       g_bg_rows, g_nodes, g_node_av,
+                                       g_ag_rows)
+        return self.hdec_topo(state, v_nodes, v_clab, v_ilab, v_cgraph,
+                              v_ag_rows, root_vecs)
+
+    def hdec_mess_cls_topk(self, state, rows, src_nodes, src_clab, src_ilab,
+                           src_cgraph, pos, inter_bg_rows, tree_bg_rows,
+                           root_vecs, vocab_mask, beam: int):
+        from .decode import hier_topk
+        state = self.hdec_mess_update(state, rows, src_nodes, src_clab,
+                                      src_ilab, src_cgraph, pos,
+                                      inter_bg_rows, tree_bg_rows)
+        cls_scores, icls_scores = self.hdec_cls(state, rows, root_vecs)
+        scores, cls_k, icls_k = hier_topk(cls_scores, icls_scores,
+                                          vocab_mask, beam)
+        return state, scores, cls_k, icls_k
+
     def hdec_assm(self, state, cand_atoms, icls_ids, n_icls, nth, ctx):
         """Per-candidate assembly scores against current atom hiddens
         (reference enum_attach + get_assm_score in decode,
