@@ -11,8 +11,10 @@ from .api import (atom_equal, bond_match, canon_smiles, copy_atom,
                   copy_edit_mol, get_clique_mol, get_mol, get_smiles,
                   get_smiles_aromatic, get_sub_mol, sanitize,
                   sanitize_in_place)
+from .brics import brics_decompose, brics_fragments, find_brics_bonds
 from .canon import canonical_ranks
 from .fingerprint import morgan_bits, tanimoto, tanimoto_smiles
+from .sascore import FragmentScores, calculate_sa, morgan_frag_counts
 from .mol import AROMATIC, BOND_TYPES, DOUBLE, SINGLE, TRIPLE, Atom, Bond, Mol
 from .parse import mol_from_smiles
 from .write import mol_to_smiles
@@ -24,4 +26,6 @@ __all__ = [
     'sanitize', 'sanitize_in_place', 'get_sub_mol', 'get_clique_mol',
     'copy_edit_mol', 'copy_atom', 'atom_equal', 'bond_match',
     'morgan_bits', 'tanimoto', 'tanimoto_smiles',
+    'brics_decompose', 'brics_fragments', 'find_brics_bonds',
+    'FragmentScores', 'calculate_sa', 'morgan_frag_counts',
 ]

@@ -4,12 +4,14 @@ Reference: /root/reference/evaluation/metrics.py:230-284, which wraps
 ``moses.get_all_metrics`` — validity, uniqueness@k, internal diversity, SNN,
 fragment similarity, molecular-weight / SA Wasserstein statistics, FCD.
 
-Implemented here on the ggpm_tpu chem kernel.  Deviations (documented):
-* Frag uses this framework's motif decomposition (``find_fragments``) instead
-  of BRICS fragments — same role (fragment-distribution cosine similarity).
-* SA uses a ring/size/branching complexity proxy instead of Ertl's
-  fragment-contribution table (which requires RDKit's data files).
-* FCD requires the pretrained ChemNet network and is reported as None.
+Implemented here on the ggpm_tpu chem kernel:
+* Frag uses BRICS fragmentation (``chem.brics``, the Degen rule table MOSES
+  uses via RDKit) — fragment-distribution cosine similarity.
+* SA is the Ertl–Schuffenhauer score (``chem.sascore``) with fragment
+  contributions fitted on the reference set (RDKit's PubChem-derived table is
+  not redistributable offline; the paper's recipe is corpus-trainable).
+* FCD requires the pretrained ChemNet network and is reported as None;
+  ``fp_frechet`` is a dependency-free distributional stand-in.
 """
 
 from __future__ import annotations
@@ -19,7 +21,8 @@ from typing import Dict, Optional, Sequence
 
 import numpy as np
 
-from ..chem import canon_smiles, get_mol, morgan_bits, tanimoto
+from ..chem import (FragmentScores, brics_fragments, calculate_sa,
+                    canon_smiles, get_mol, morgan_bits, tanimoto)
 from ..chem.elements import ATOMIC_MASS
 from ..graph.chemutils import find_fragments
 
@@ -33,8 +36,9 @@ def mol_weight(mol) -> float:
 
 
 def sa_proxy(mol) -> float:
-    """Synthetic-accessibility proxy: penalises macrocycles, ring fusion,
-    branching, and size (monotone-comparable to Ertl SA for ranking)."""
+    """Legacy synthetic-accessibility proxy (kept for comparability with
+    round-1 artifacts); the metric suite now uses ``chem.sascore``
+    (Ertl–Schuffenhauer)."""
     n = mol.num_atoms
     if n == 0:
         return 0.0
@@ -119,8 +123,11 @@ class Metrics:
         return float(np.mean(vals))
 
     def frag_similarity(self, gen: Sequence[Optional[str]],
-                        ref: Sequence[str]) -> float:
-        """Cosine similarity of fragment-frequency vectors."""
+                        ref: Sequence[str],
+                        fragmenter: str = 'brics') -> float:
+        """Cosine similarity of fragment-frequency vectors.  ``fragmenter``
+        is ``'brics'`` (MOSES definition, chem.brics) or ``'motif'`` (this
+        framework's motif decomposition, the round-1 behaviour)."""
         def frag_counter(smiles_list):
             c: Counter = Counter()
             for s in smiles_list:
@@ -130,8 +137,12 @@ class Metrics:
                 if m is None:
                     continue
                 try:
-                    for fs, _ in find_fragments(m):
-                        c[fs] += 1
+                    if fragmenter == 'brics':
+                        for fs in brics_fragments(m):
+                            c[fs] += 1
+                    else:
+                        for fs, _ in find_fragments(m):
+                            c[fs] += 1
                 except Exception:
                     continue
             return c
@@ -150,8 +161,13 @@ class Metrics:
         return wasserstein1(mg, mr)
 
     def sa_stat(self, gen, ref) -> float:
-        sg = [sa_proxy(m) for m in (get_mol(s) for s in gen if s) if m]
-        sr = [sa_proxy(m) for m in (get_mol(s) for s in ref if s) if m]
+        """W1 distance of Ertl SA-score distributions; fragment
+        contributions fitted on the reference set (chem.sascore)."""
+        mg = [m for m in (get_mol(s) for s in gen if s) if m]
+        mr = [m for m in (get_mol(s) for s in ref if s) if m]
+        fscores = FragmentScores.fit(mr)
+        sg = [calculate_sa(m, fscores) for m in mg]
+        sr = [calculate_sa(m, fscores) for m in mr]
         return wasserstein1(sg, sr)
 
     def fp_frechet(self, gen: Sequence[Optional[str]],

@@ -40,6 +40,32 @@ from .encoder import pos_onehot
 from .rnn import make_cell
 
 
+def scope_mask(scope: jnp.ndarray, n_rows: int) -> jnp.ndarray:
+    """[B, N] membership mask: row n belongs to molecule b iff it lies in
+    b's scope window (tensorizer scope convention, mol_graph.py)."""
+    ar = jnp.arange(n_rows)[None, :]
+    return (ar >= scope[:, :1]) & (ar < scope[:, :1] + scope[:, 1:2])
+
+
+def attend(src_mem, mask, query, A):
+    """Attention context over per-molecule source memory.
+
+    TPU-native redesign of the reference's ``attention``
+    (decoder.py:124-134, gated by ``use_attention``, decoder.py:28): the
+    reference bmm's per-prediction gathered source matrices; here the scores
+    are one dense einsum against the flat [N, latent] memory table masked per
+    molecule — no gather, fully batched.
+
+    query: [..., B, H] (B second-to-last); returns [..., B, latent].
+    """
+    proj = A(query)
+    scores = jnp.einsum('nl,...bl->...bn', src_mem, proj)
+    neg = jnp.finfo(scores.dtype).min / 4
+    scores = jnp.where(mask, scores, neg)
+    w = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum('...bn,nl->...bl', w, src_mem)
+
+
 class PredictionMLP(nn.Module):
     """hidden→out two-layer head used by topo/cls/icls predictors
     (reference decoder.py:492-511)."""
@@ -65,6 +91,7 @@ class MotifDecoder(nn.Module):
     diterT: int = 1
     dropout: float = 0.0
     remat: bool = False      # rematerialise the scan step (memory ↓, FLOPs ↑)
+    use_attention: bool = False
     E_c: Optional[nn.Module] = None
     E_i: Optional[nn.Module] = None
 
@@ -86,6 +113,11 @@ class MotifDecoder(nn.Module):
         self.W_assm = nn.Dense(self.latent_size)
         if self.latent_size != self.hidden_size:
             self.W_root = nn.Dense(self.hidden_size)
+        if self.use_attention:
+            # attention context heads (reference decoder.py:62-65)
+            self.A_topo = nn.Dense(self.latent_size)
+            self.A_cls = nn.Dense(self.latent_size)
+            self.A_assm = nn.Dense(self.latent_size)
 
     # -- shared helpers ----------------------------------------------------
     def _ec(self):
@@ -122,8 +154,40 @@ class MotifDecoder(nn.Module):
     # -- teacher-forced training loss --------------------------------------
     def __call__(self, tree: Dict[str, Any], plan: Dict[str, Any],
                  root_vecs: jnp.ndarray, vocab_mask: jnp.ndarray,
-                 deterministic: bool = True):
-        """Returns (loss, metrics) for a batch; all shapes static."""
+                 deterministic: bool = True, src_mem=None):
+        """Returns (loss, metrics) for a batch; all shapes static.
+
+        ``src_mem`` ([N, latent] encoder node memory) enables the attention
+        context heads when the module was built with ``use_attention``."""
+        topo_vecs, cls_vecs, init_vecs = self._run_scan(
+            tree, plan, root_vecs, deterministic)
+        return self._losses(plan, root_vecs, init_vecs, vocab_mask,
+                            topo_vecs, cls_vecs, root_vecs.shape[0],
+                            deterministic, scope=tree['scope'],
+                            src_mem=src_mem)
+
+    def mean_forward(self, tree: Dict[str, Any], plan: Dict[str, Any],
+                     root_vecs: jnp.ndarray, vocab_mask: jnp.ndarray,
+                     deterministic: bool = True, src_mem=None):
+        """Per-sample-accounted loss (reference ``MotifDecoder.mean_forward``,
+        decoder.py:630-774, reached via ``forward(avg_loss=True)``,
+        decoder.py:624-628).
+
+        The reference accumulates sum-reduced losses per sample and divides
+        the grand total by batch size — numerically identical to
+        ``sum_forward``'s global sum / batch (the per-sample partition
+        commutes with the sum; verified in tests/test_models.py).  What the
+        variant adds is the per-sample loss breakdown, returned here as a
+        ``[B]`` vector in the third output.
+        """
+        topo_vecs, cls_vecs, init_vecs = self._run_scan(
+            tree, plan, root_vecs, deterministic)
+        return self._losses(plan, root_vecs, init_vecs, vocab_mask,
+                            topo_vecs, cls_vecs, root_vecs.shape[0],
+                            deterministic, scope=tree['scope'],
+                            src_mem=src_mem, return_per_sample=True)
+
+    def _run_scan(self, tree, plan, root_vecs, deterministic):
         fnode, fmess = tree['fnode'], tree['fmess']
         agraph, bgraph = tree['agraph_dec'], tree['bgraph_dec']
         num_mess = fmess.shape[0]
@@ -177,17 +241,28 @@ class MotifDecoder(nn.Module):
         step_fn = jax.checkpoint(step) if self.remat else step
         _, (topo_vecs, cls_vecs) = jax.lax.scan(step_fn, state,
                                                 (mess, xid, active))
-        return self._losses(plan, root_vecs, init_vecs, vocab_mask,
-                            topo_vecs, cls_vecs, batch_size, deterministic)
+        return topo_vecs, cls_vecs, init_vecs
 
     def _losses(self, plan, root_vecs, init_vecs, vocab_mask, topo_vecs,
-                cls_vecs, batch_size, deterministic):
+                cls_vecs, batch_size, deterministic, scope=None, src_mem=None,
+                return_per_sample=False):
         active = plan['active']
         T = topo_vecs.shape[0]
         latent_b = jnp.broadcast_to(root_vecs[None], (T, batch_size, self.latent_size))
 
+        att = self.use_attention and src_mem is not None
+        if att:
+            mask = scope_mask(scope, src_mem.shape[0])
+            topo_ctx = attend(src_mem, mask, topo_vecs, self.A_topo)
+            root_cls_ctx = attend(src_mem, mask, init_vecs, self.A_cls)
+            step_cls_ctx = attend(src_mem, mask, cls_vecs, self.A_cls)
+        else:
+            topo_ctx = latent_b
+            root_cls_ctx = root_vecs
+            step_cls_ctx = latent_b
+
         # --- topology loss (BCE-with-logits, sum over active steps) -------
-        topo_logits = self.topo_logit(None, latent_b, topo_vecs, deterministic)
+        topo_logits = self.topo_logit(None, topo_ctx, topo_vecs, deterministic)
         tlab = plan['tlab'].astype(jnp.float32)
         topo_bce = jnp.maximum(topo_logits, 0) - topo_logits * tlab + \
             jnp.log1p(jnp.exp(-jnp.abs(topo_logits)))
@@ -198,11 +273,10 @@ class MotifDecoder(nn.Module):
 
         # --- motif (cls + icls) loss --------------------------------------
         # events: the B roots (context vector = latent) + every expand step
-        root_ctx = root_vecs
-        root_cls_logits, root_icls_logits = self.cls_logits(init_vecs, root_ctx,
-                                                            deterministic)
+        root_cls_logits, root_icls_logits = self.cls_logits(
+            init_vecs, root_cls_ctx, deterministic)
         step_cls_logits, step_icls_logits = self.cls_logits(
-            cls_vecs, latent_b, deterministic)
+            cls_vecs, step_cls_ctx, deterministic)
 
         vmask = vocab_mask  # [hvocab, ivocab] additive log-mask
         root_icls_logits = root_icls_logits + vmask[plan['root_clab']]
@@ -230,9 +304,17 @@ class MotifDecoder(nn.Module):
         # --- assembly loss (closed form, see module docstring) ------------
         mvec = self.match_vec(plan['assm_icls'], plan['assm_n_icls'],
                               plan['assm_nth'], deterministic)        # [T,B,H]
-        s = (self.W_assm(mvec) * latent_b).sum(-1)                     # real-cand score
         bias = self.W_assm(jnp.zeros((self.hidden_size,)))
-        p = (bias * root_vecs).sum(-1)[None, :]                        # pad-slot score
+        if att:
+            assm_ctx = attend(src_mem, mask, mvec, self.A_assm)
+            pad_ctx = attend(src_mem, mask,
+                             jnp.zeros((batch_size, self.hidden_size)),
+                             self.A_assm)
+            s = (self.W_assm(mvec) * assm_ctx).sum(-1)
+            p = (bias * pad_ctx).sum(-1)[None, :]
+        else:
+            s = (self.W_assm(mvec) * latent_b).sum(-1)                 # real-cand score
+            p = (bias * root_vecs).sum(-1)[None, :]                    # pad-slot score
         nc = plan['assm_nc'].astype(jnp.float32)
         maxc = plan['max_cls_size'].astype(jnp.float32)
         m = jnp.maximum(s, p)
@@ -251,6 +333,17 @@ class MotifDecoder(nn.Module):
             'Word': cls_acc, 'I-Word': icls_acc, 'Topo': topo_acc,
             'Assm': assm_acc,
         }
+        if return_per_sample:
+            # per-sample loss partition (mean_forward): summing these over the
+            # batch reproduces loss * batch_size exactly
+            topo_ps = (topo_bce * act_f).sum(0)
+            cls_ps = ce(root_cls_logits, plan['root_clab']) + \
+                (ce(step_cls_logits, plan['clab']) * has_cls).sum(0)
+            icls_ps = ce(root_icls_logits, plan['root_ilab']) + \
+                (ce(step_icls_logits, plan['ilab']) * has_cls).sum(0)
+            assm_ps = ((lse - s) * has_assm).sum(0)
+            per_sample = topo_ps + cls_ps + icls_ps + assm_ps
+            return loss, metrics, per_sample
         return loss, metrics
 
     # -- scheduled-sampling variant ----------------------------------------

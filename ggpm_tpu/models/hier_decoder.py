@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from ..graph.mol_graph import MAX_POS
 from ..ops import gather_nd, nei_sum
-from .decoder import PredictionMLP
+from .decoder import PredictionMLP, attend, scope_mask
 from .encoder import pos_onehot
 from .rnn import make_cell
 
@@ -46,6 +46,7 @@ class HierDecoder(nn.Module):
     diterG: int = 3
     dropout: float = 0.0
     remat: bool = False      # rematerialise the scan step (memory ↓, FLOPs ↑)
+    use_attention: bool = False
     E_c: Optional[nn.Module] = None
     E_i: Optional[nn.Module] = None
 
@@ -75,6 +76,14 @@ class HierDecoder(nn.Module):
         self.W_assm = nn.Dense(self.latent_size)
         if self.latent_size != self.hidden_size:
             self.W_root = nn.Dense(self.hidden_size)
+        if self.use_attention:
+            # attention context heads (reference decoder.py:62-65); topo/cls
+            # attend over the motif-level source memory, assm over the
+            # atom-level one (src_tree_vecs / src_graph_vecs split,
+            # decoder.py:136-164)
+            self.A_topo = nn.Dense(self.latent_size)
+            self.A_cls = nn.Dense(self.latent_size)
+            self.A_assm = nn.Dense(self.latent_size)
 
     def _ec(self):
         return self.E_c if self.E_c is not None else self.E_c_mod
@@ -99,7 +108,8 @@ class HierDecoder(nn.Module):
 
     def __call__(self, tree: Dict[str, Any], graph: Dict[str, Any],
                  plan: Dict[str, Any], root_vecs: jnp.ndarray,
-                 vocab_mask: jnp.ndarray, deterministic: bool = True):
+                 vocab_mask: jnp.ndarray, deterministic: bool = True,
+                 src_tree_mem=None, src_graph_mem=None):
         fnode, fmess = tree['fnode'], tree['fmess']
         agraph_dec, bgraph_dec = tree['agraph_dec'], tree['bgraph_dec']
         agraph, bgraph = tree['agraph'], tree['bgraph']
@@ -111,6 +121,11 @@ class HierDecoder(nn.Module):
         num_tnodes = fnode.shape[0]
         batch_size = root_vecs.shape[0]
         H = self.hidden_size
+
+        att = self.use_attention and src_tree_mem is not None
+        if att:
+            tmask = scope_mask(tree['scope'], src_tree_mem.shape[0])
+            gmask = scope_mask(graph['scope'], src_graph_mem.shape[0])
 
         init_vecs = self.root_vecs_to_hidden(root_vecs)
         ec_emb = self.drop(self._ec()(fnode[:, 0]), deterministic=deterministic)
@@ -141,6 +156,10 @@ class HierDecoder(nn.Module):
             self.W_c(jnp.zeros((1, self.embed_size + H)))
             self.matchNN(jnp.zeros((1, H + self.embed_size + MAX_POS)))
             self.W_assm(jnp.zeros((1, H)))
+            if self.use_attention:
+                # A_assm is applied inside the scan step; params must exist
+                # before the scan is traced
+                self.A_assm(jnp.zeros((1, H)))
 
         def sparse_update(rnn, state, rows, x, bg, n_iter):
             valid = (rows > 0)
@@ -215,8 +234,18 @@ class HierDecoder(nn.Module):
             k_mask = (jnp.arange(2)[None, None, :] < n_icls[:, None, None])
             cand_vecs = (mvec * k_mask[..., None]).sum(axis=2)   # [B, C, H]
             cand_vecs = cand_vecs * cand_ok[..., None]
-            cand_scores = (self.W_assm(cand_vecs) *
-                           root_vecs[:, None, :]).sum(-1)   # [B, C]
+            if att:
+                # per-candidate attention over atom-level source memory
+                # (get_assm_score with use_attention, decoder.py:159-164)
+                proj = self.A_assm(cand_vecs)                # [B, C, latent]
+                sc = jnp.einsum('nl,bcl->bcn', src_graph_mem, proj)
+                sc = jnp.where(gmask[:, None, :], sc,
+                               jnp.finfo(sc.dtype).min / 4)
+                assm_ctx = jnp.einsum('bcn,nl->bcl',
+                                      jax.nn.softmax(sc, -1), src_graph_mem)
+            else:
+                assm_ctx = root_vecs[:, None, :]
+            cand_scores = (self.W_assm(cand_vecs) * assm_ctx).sum(-1)  # [B, C]
 
             carry = (tree_state, inter_state, graph_state, hatom, hinter_node)
             return carry, (topo_vec, cls_vec, cand_scores)
@@ -234,8 +263,17 @@ class HierDecoder(nn.Module):
         latent_b = jnp.broadcast_to(root_vecs[None],
                                     (T, batch_size, self.latent_size))
 
+        if att:
+            topo_ctx = attend(src_tree_mem, tmask, topo_vecs, self.A_topo)
+            root_cls_ctx = attend(src_tree_mem, tmask, init_vecs, self.A_cls)
+            step_cls_ctx = attend(src_tree_mem, tmask, cls_vecs, self.A_cls)
+        else:
+            topo_ctx = latent_b
+            root_cls_ctx = root_vecs
+            step_cls_ctx = latent_b
+
         topo_logits = self.topoNN(
-            jnp.concatenate([topo_vecs, latent_b], axis=-1),
+            jnp.concatenate([topo_vecs, topo_ctx], axis=-1),
             deterministic)[..., 0]
         tlab = plan['tlab'].astype(jnp.float32)
         topo_bce = jnp.maximum(topo_logits, 0) - topo_logits * tlab + \
@@ -249,8 +287,8 @@ class HierDecoder(nn.Module):
             x = jnp.concatenate([vec, ctx], axis=-1)
             return self.clsNN(x, deterministic), self.iclsNN(x, deterministic)
 
-        root_cls_logits, root_icls_logits = heads(init_vecs, root_vecs)
-        step_cls_logits, step_icls_logits = heads(cls_vecs, latent_b)
+        root_cls_logits, root_icls_logits = heads(init_vecs, root_cls_ctx)
+        step_cls_logits, step_icls_logits = heads(cls_vecs, step_cls_ctx)
         root_icls_logits = root_icls_logits + vocab_mask[plan['root_clab']]
         step_icls_logits = step_icls_logits + vocab_mask[plan['clab']]
 
@@ -274,7 +312,13 @@ class HierDecoder(nn.Module):
 
         # assembly CE over [real candidate slots] + [zero-vector pad slots]
         bias = self.W_assm(jnp.zeros((self.hidden_size,)))
-        p_score = (bias * root_vecs).sum(-1)[None, :]          # [1, B]
+        if att:
+            pad_ctx = attend(src_graph_mem, gmask,
+                             jnp.zeros((batch_size, self.hidden_size)),
+                             self.A_assm)
+            p_score = (bias * pad_ctx).sum(-1)[None, :]        # [1, B]
+        else:
+            p_score = (bias * root_vecs).sum(-1)[None, :]      # [1, B]
         nc = plan['assm_nc'].astype(jnp.float32)
         maxc = plan['max_cls_size'].astype(jnp.float32)
         neg = jnp.finfo(jnp.float32).min / 4

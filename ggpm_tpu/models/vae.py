@@ -30,7 +30,8 @@ class ModelConfig:
                  latent_size: int = 24, linear_hidden_size: int = 128,
                  depthT: int = 20, depthG: int = 20, diterT: int = 1, diterG: int = 5,
                  dropout: float = 0.0, tie_embedding: bool = True,
-                 loss_scaling: bool = False, remat: bool = False):
+                 loss_scaling: bool = False, remat: bool = False,
+                 use_attention: bool = False):
         self.hvocab_size = hvocab_size
         self.ivocab_size = ivocab_size
         self.atom_vocab_size = atom_vocab_size
@@ -47,6 +48,7 @@ class ModelConfig:
         self.tie_embedding = tie_embedding
         self.loss_scaling = loss_scaling
         self.remat = remat
+        self.use_attention = use_attention
 
     @classmethod
     def from_configs(cls, configs, vocab):
@@ -66,6 +68,7 @@ class ModelConfig:
             tie_embedding=getattr(configs, 'tie_embedding', True),
             loss_scaling=getattr(configs, 'loss_scaling', False),
             remat=getattr(configs, 'remat', False),
+            use_attention=getattr(configs, 'use_attention', False),
         )
 
 
@@ -87,7 +90,7 @@ class PropertyVAE(nn.Module):
             atom_vocab_size=c.atom_vocab_size, rnn_type=c.rnn_type,
             embed_size=c.embed_size, hidden_size=c.hidden_size,
             latent_size=c.latent_size, diterT=c.diterT, dropout=c.dropout,
-            remat=c.remat, E_c=ec, E_i=ei)
+            remat=c.remat, use_attention=c.use_attention, E_c=ec, E_i=ei)
         self.encoder = MotifEncoder(
             hvocab_size=c.hvocab_size, ivocab_size=c.ivocab_size,
             atom_vocab_size=c.atom_vocab_size, rnn_type=c.rnn_type,
@@ -132,10 +135,14 @@ class PropertyVAE(nn.Module):
                  rng: Optional[jax.Array] = None, perturb_z: bool = True,
                  deterministic: bool = True):
         tree, plan = batch['tree'], batch['plan']
-        root, _ = self.encoder(tree, deterministic)
+        root, node = self.encoder(tree, deterministic)
         z, kl = self.rsample(root, rng, perturb_z)
+        # attention memory: encoder node hiddens projected into latent space
+        # by the same map that produces the root latent (config flag
+        # ``use_attention``, reference decoder.py:28,62-65,124-134)
+        src_mem = self.R_mean(node) if self.cfg.use_attention else None
         loss, metrics = self.decoder(tree, plan, z, batch['vocab_mask'],
-                                     deterministic)
+                                     deterministic, src_mem=src_mem)
         total = loss + beta * kl
         metrics = dict(metrics, Loss=total, KL=kl)
         return total, metrics, {'clipped': jnp.array(False)}
@@ -179,13 +186,15 @@ class PropOptVAE(nn.Module):
         tree, plan = batch['tree'], batch['plan']
         rng_z, rng_clip = (jax.random.split(rng) if rng is not None
                            else (None, None))
-        root, _ = self.vae.encoder(tree, deterministic)
+        root, node = self.vae.encoder(tree, deterministic)
         z, kl = self.vae.rsample(root, rng_z, perturb_z)
 
         homo_loss, lumo_loss, _, _ = self.property_loss(
             z, batch['homos'], batch['lumos'], deterministic)
+        src_mem = self.vae.R_mean(node) if self.cfg.use_attention else None
         recon_loss, metrics = self.vae.decoder(tree, plan, z,
-                                               batch['vocab_mask'], deterministic)
+                                               batch['vocab_mask'],
+                                               deterministic, src_mem=src_mem)
         recon_loss = recon_loss + beta * kl
 
         if self.cfg.loss_scaling:
@@ -232,7 +241,8 @@ class HierPropertyVAE(nn.Module):
             atom_vocab_size=c.atom_vocab_size, rnn_type=c.rnn_type,
             embed_size=c.embed_size, hidden_size=c.hidden_size,
             latent_size=c.latent_size, diterT=c.diterT, diterG=c.diterG,
-            dropout=c.dropout, remat=c.remat, E_c=ec, E_i=ei)
+            dropout=c.dropout, remat=c.remat,
+            use_attention=c.use_attention, E_c=ec, E_i=ei)
         self.R_mean = nn.Dense(c.latent_size)
         self.R_var = nn.Dense(c.latent_size)
 
@@ -262,10 +272,18 @@ class HierPropertyVAE(nn.Module):
                  rng: Optional[jax.Array] = None, perturb_z: bool = True,
                  deterministic: bool = True):
         tree, graph, plan = batch['tree'], batch['graph'], batch['plan']
-        root, _, _, _ = self.encoder(tree, graph, deterministic)
+        root, hnode, _, hatom = self.encoder(tree, graph, deterministic)
         z, kl = self.rsample(root, rng, perturb_z)
+        if self.cfg.use_attention:
+            # motif-level memory for topo/cls, atom-level for assm
+            # (src_tree_vecs / src_graph_vecs, reference decoder.py:136-164)
+            src_tree_mem, src_graph_mem = self.R_mean(hnode), self.R_mean(hatom)
+        else:
+            src_tree_mem = src_graph_mem = None
         loss, metrics = self.decoder(tree, graph, plan, z,
-                                     batch['vocab_mask'], deterministic)
+                                     batch['vocab_mask'], deterministic,
+                                     src_tree_mem=src_tree_mem,
+                                     src_graph_mem=src_graph_mem)
         total = loss + beta * kl
         metrics = dict(metrics, Loss=total, KL=kl)
         return total, metrics, {'clipped': jnp.array(False)}
@@ -315,13 +333,19 @@ class HierPropOptVAE(nn.Module):
         tree, graph, plan = batch['tree'], batch['graph'], batch['plan']
         rng_z, rng_clip = (jax.random.split(rng) if rng is not None
                            else (None, None))
-        root, _, _, _ = self.hier.encoder(tree, graph, deterministic)
+        root, hnode, _, hatom = self.hier.encoder(tree, graph, deterministic)
         z, kl = self.hier.rsample(root, rng_z, perturb_z)
 
         homo_loss, lumo_loss, _, _ = self.property_loss(
             z, batch['homos'], batch['lumos'], deterministic)
-        recon_loss, metrics = self.hier.decoder(tree, graph, plan, z,
-                                                batch['vocab_mask'], deterministic)
+        if self.cfg.use_attention:
+            src_tree_mem = self.hier.R_mean(hnode)
+            src_graph_mem = self.hier.R_mean(hatom)
+        else:
+            src_tree_mem = src_graph_mem = None
+        recon_loss, metrics = self.hier.decoder(
+            tree, graph, plan, z, batch['vocab_mask'], deterministic,
+            src_tree_mem=src_tree_mem, src_graph_mem=src_graph_mem)
         if self.cfg.loss_scaling:
             recon_loss, homo_loss, lumo_loss = self.loss_weigh(
                 recon_loss, homo_loss, lumo_loss)

@@ -160,3 +160,87 @@ def test_fuzz_roundtrip_dataset_molecules():
         s_mapped = get_smiles(m)
         m4 = get_mol(s_mapped)
         assert m4 is not None and sum(x.map_num for x in m4.atoms) == 1, s
+
+
+# --- Ertl SA score (chem/sascore.py) ---------------------------------------
+
+def test_sa_score_range_and_ordering():
+    """SA scores live in [1, 10] and complexity raises them: a bridged
+    polycycle with stereocentres must score higher than ethanol."""
+    from ggpm_tpu.chem import FragmentScores, calculate_sa, get_mol
+    corpus_smiles = ['CCO', 'CCC', 'c1ccccc1', 'CC(=O)O', 'CCN', 'CCOC',
+                     'c1ccncc1', 'CC(C)O', 'CCCC', 'CC(N)C(=O)O']
+    fscores = FragmentScores.fit([get_mol(s) for s in corpus_smiles])
+    simple = calculate_sa(get_mol('CCO'), fscores)
+    complex_ = calculate_sa(
+        get_mol('CC1(C)C2CCC1(C)C(=O)C2'), fscores)  # camphor-like bridged
+    assert 1.0 <= simple <= 10.0 and 1.0 <= complex_ <= 10.0
+    assert complex_ > simple
+
+
+def test_sa_stereocenters():
+    from ggpm_tpu.chem import get_mol
+    from ggpm_tpu.chem.sascore import num_potential_stereocenters
+    assert num_potential_stereocenters(get_mol('CC(N)C(=O)O')) == 1  # alanine
+    assert num_potential_stereocenters(get_mol('CC(C)C')) == 0
+    assert num_potential_stereocenters(get_mol('c1ccccc1')) == 0
+
+
+def test_sa_ring_topology():
+    from ggpm_tpu.chem import get_mol
+    from ggpm_tpu.chem.sascore import _ring_topology
+    spiro, bridge, macro = _ring_topology(get_mol('C1CCC2(CC1)CCCCC2'))
+    assert spiro == 1 and bridge == 0
+    spiro, bridge, macro = _ring_topology(get_mol('C1CC2CCC1CC2'))
+    assert bridge == 2 and spiro == 0
+    _, _, macro = _ring_topology(get_mol('C1CCCCCCCCCCC1'))
+    assert macro == 1
+
+
+def test_fragment_scores_roundtrip(tmp_path):
+    from ggpm_tpu.chem import FragmentScores, get_mol
+    fs = FragmentScores.fit([get_mol('CCO'), get_mol('CCC')])
+    p = str(tmp_path / 'fs.json')
+    fs.save(p)
+    fs2 = FragmentScores.load(p)
+    assert fs.scores == fs2.scores
+    assert fs2.get(123456789) == FragmentScores.FLOOR  # unseen → floor
+
+
+# --- BRICS fragmentation (chem/brics.py) ------------------------------------
+
+def test_brics_ether_cut():
+    from ggpm_tpu.chem import brics_decompose
+    frags = brics_decompose('CCCOc1ccccc1')
+    assert sorted(frags) == ['CCCO', 'c1ccccc1']
+
+
+def test_brics_no_ring_bond_cut():
+    from ggpm_tpu.chem import brics_decompose, find_brics_bonds, get_mol
+    assert find_brics_bonds(get_mol('C1CCOC1')) == []
+    assert brics_decompose('C1CCOC1') == ['C1CCOC1']
+
+
+def test_brics_biphenyl():
+    from ggpm_tpu.chem import brics_decompose
+    assert brics_decompose('c1ccc(-c2ccccc2)cc1') == \
+        ['c1ccccc1', 'c1ccccc1']
+
+
+def test_brics_amide():
+    """Acetanilide: amide C–N (L1–L5) and anilino N–c (L5–L16) both cleave."""
+    from ggpm_tpu.chem import find_brics_bonds, get_mol
+    cuts = find_brics_bonds(get_mol('CC(=O)Nc1ccccc1'))
+    assert len(cuts) == 2
+
+
+def test_brics_consistency_over_dataset(golden_smiles):
+    """BRICS decomposition never throws and every fragment reparses."""
+    from ggpm_tpu.chem import brics_decompose, get_mol
+    for s in golden_smiles:
+        frags = brics_decompose(s)
+        if frags is None:
+            continue
+        assert len(frags) >= 1
+        for f in frags:
+            assert get_mol(f) is not None, f'{f} from {s} does not reparse'

@@ -139,3 +139,74 @@ def test_scheduled_tf1_matches_standard(tiny_model_setup):
         batch['vocab_mask'], 1.0, rng, True,
         method=lambda m, *a: m._decoder().scheduled_forward(*a))
     np.testing.assert_allclose(float(std_loss), float(sched_loss), rtol=1e-5)
+
+
+@pytest.mark.parametrize('name', ['prop', 'prop-opt', 'hier-prop', 'hier-prop-opt'])
+def test_attention_variant(name, batch_and_cfg):
+    """use_attention adds A_topo/A_cls/A_assm context heads (reference
+    decoder.py:28,62-65,124-164) and the model still trains: loss finite,
+    gradients flow through the attention heads."""
+    import copy
+    batch, cfg = batch_and_cfg
+    cfg_att = copy.copy(cfg)
+    cfg_att.use_attention = True
+    model = OPVNet.get_model(name)(cfg=cfg_att)
+    rng = jax.random.PRNGKey(0)
+    params = model.init({'params': rng, 'dropout': rng}, batch, 0.1, rng,
+                        True, True)
+    names = [jax.tree_util.keystr(p)
+             for p, _ in jax.tree_util.tree_flatten_with_path(params)[0]]
+    for head in ('A_topo', 'A_cls', 'A_assm'):
+        assert any(head in n for n in names), f'{head} missing from params'
+    loss, metrics, _ = model.apply(params, batch, 0.1, rng, True, True)
+    assert np.isfinite(float(loss))
+    g = jax.grad(lambda p: model.apply(p, batch, 0.1, rng, True, True)[0])(params)
+    att_gn = sum(float((x ** 2).sum())
+                 for p, x in jax.tree_util.tree_flatten_with_path(g)[0]
+                 if 'A_topo' in jax.tree_util.keystr(p)
+                 or 'A_cls' in jax.tree_util.keystr(p)
+                 or 'A_assm' in jax.tree_util.keystr(p))
+    assert np.isfinite(att_gn) and att_gn > 0
+
+
+def test_reference_attention_config_loads(batch_and_cfg, golden_vocab):
+    """The reference w_attention experiment config maps onto ModelConfig with
+    the flag set (reference configs/pretrained_w_tie_embedding_w_attention_configs.json)."""
+    import os
+    path = ('/root/reference/configs/'
+            'pretrained_w_tie_embedding_w_attention_configs.json')
+    if not os.path.exists(path):
+        pytest.skip('reference configs unavailable')
+    from ggpm_tpu.configs import Configs
+    cfgs = Configs(path=path)
+    mc = ModelConfig.from_configs(cfgs, golden_vocab)
+    assert mc.use_attention is True
+
+
+def test_mean_forward_matches_sum(batch_and_cfg):
+    """mean_forward (reference decoder.py:630-774, forward(avg_loss=True))
+    returns the identical total loss as the sum path plus a per-sample
+    breakdown that partitions it exactly."""
+    from ggpm_tpu.models.decoder import MotifDecoder
+    batch, cfg = batch_and_cfg
+    tree, plan = batch['tree'], batch['plan']
+    dec = MotifDecoder(hvocab_size=cfg.hvocab_size, ivocab_size=cfg.ivocab_size,
+                       atom_vocab_size=cfg.atom_vocab_size,
+                       embed_size=48, hidden_size=48, latent_size=24)
+    rng = jax.random.PRNGKey(0)
+    B = tree['scope'].shape[0]
+    root_vecs = jax.random.normal(rng, (B, 24))
+    params = dec.init({'params': rng, 'dropout': rng}, tree, plan, root_vecs,
+                      batch['vocab_mask'])
+    loss, metrics = dec.apply(params, tree, plan, root_vecs,
+                              batch['vocab_mask'])
+    mloss, mmetrics, per_sample = dec.apply(
+        params, tree, plan, root_vecs, batch['vocab_mask'],
+        method=MotifDecoder.mean_forward)
+    assert per_sample.shape == (B,)
+    np.testing.assert_allclose(float(loss), float(mloss), rtol=1e-5)
+    np.testing.assert_allclose(float(per_sample.sum()) / B, float(loss),
+                               rtol=1e-4)
+    for k in metrics:
+        np.testing.assert_allclose(float(metrics[k]), float(mmetrics[k]),
+                                   rtol=1e-5)
