@@ -125,11 +125,148 @@ class ChemBertaForPR2(nn.Module):
                       'lumo_mae': lumo_mae, 'lumo_mse': lumo_mse}
 
 
+def save_chemberta(path_prefix: str, params, tok: SmilesTokenizer) -> None:
+    """Persist a trained ChemBERTa (params pickle + tokenizer vocab json)."""
+    import json
+    import pickle
+
+    with open(path_prefix + '.params.pkl', 'wb') as f:
+        pickle.dump(jax.tree.map(np.asarray, params), f)
+    with open(path_prefix + '.tokenizer.json', 'w') as f:
+        json.dump(tok.vocab, f)
+
+
+def _flatten(tree, prefix=()):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, prefix + (str(k),)))
+    else:
+        out[prefix] = tree
+    return out
+
+
+def load_pretrained_backbone(params, pretrained_dir: str, log=print):
+    """Load backbone weights from a local checkpoint directory into ``params``
+    (shape-filtered, the reference ``copy_model`` transfer semantics,
+    nnutils.py:13-62).
+
+    Two formats are recognised:
+
+    * this framework's own ``save_chemberta`` output
+      (``chemberta.params.pkl``): leaves are copied where path and shape
+      match;
+    * a HuggingFace **Flax** RoBERTa checkpoint (``flax_model.msgpack``,
+      e.g. a locally downloaded ``seyonec/PubChem10M_SMILES_BPE_450k``):
+      encoder-layer weights (attention q/k/v/out, FFN, LayerNorms) and
+      position embeddings are mapped onto the corresponding modules.  Word
+      embeddings are **not** transferred — the reference uses the HF BPE
+      tokenizer while this rebuild uses an atom-level tokenizer, so token
+      ids are incompatible (documented offline-reproducibility gap; see
+      README).
+
+    Returns the merged params and the number of transferred leaves.
+    """
+    import os
+    import pickle
+
+    native = os.path.join(pretrained_dir, 'chemberta.params.pkl')
+    hf = os.path.join(pretrained_dir, 'flax_model.msgpack')
+    flat_tgt = _flatten(params)
+    n = 0
+    if os.path.exists(native):
+        with open(native, 'rb') as f:
+            src = pickle.load(f)
+        flat_src = _flatten(src)
+        merged = {}
+        for k, v in flat_tgt.items():
+            s = flat_src.get(k)
+            if s is not None and np.shape(s) == np.shape(v):
+                merged[k] = jnp.asarray(s)
+                n += 1
+            else:
+                merged[k] = v
+        log(f'loaded {n}/{len(flat_tgt)} leaves from native checkpoint')
+    elif os.path.exists(hf):
+        from flax.serialization import msgpack_restore
+        with open(hf, 'rb') as f:
+            src = msgpack_restore(f.read())
+        root = src.get('roberta', src)
+        flat_src = _flatten(root)
+        # map HF FlaxRoberta names onto our module names per encoder layer
+        def hf_to_ours(path):
+            p = '/'.join(path)
+            out = []
+            if 'encoder/layer/' in p:
+                parts = path[path.index('layer') + 1:]
+                li = parts[0]
+                rest = '/'.join(parts[1:])
+                base = ('params', f'TransformerEncoderLayer_{li}')
+                m = {
+                    'attention/self/query/kernel': ('MultiHeadDotProductAttention_0', 'query', 'kernel'),
+                    'attention/self/query/bias': ('MultiHeadDotProductAttention_0', 'query', 'bias'),
+                    'attention/self/key/kernel': ('MultiHeadDotProductAttention_0', 'key', 'kernel'),
+                    'attention/self/key/bias': ('MultiHeadDotProductAttention_0', 'key', 'bias'),
+                    'attention/self/value/kernel': ('MultiHeadDotProductAttention_0', 'value', 'kernel'),
+                    'attention/self/value/bias': ('MultiHeadDotProductAttention_0', 'value', 'bias'),
+                    'attention/output/dense/kernel': ('MultiHeadDotProductAttention_0', 'out', 'kernel'),
+                    'attention/output/dense/bias': ('MultiHeadDotProductAttention_0', 'out', 'bias'),
+                    'attention/output/LayerNorm/scale': ('LayerNorm_0', 'scale'),
+                    'attention/output/LayerNorm/bias': ('LayerNorm_0', 'bias'),
+                    'intermediate/dense/kernel': ('Dense_0', 'kernel'),
+                    'intermediate/dense/bias': ('Dense_0', 'bias'),
+                    'output/dense/kernel': ('Dense_1', 'kernel'),
+                    'output/dense/bias': ('Dense_1', 'bias'),
+                    'output/LayerNorm/scale': ('LayerNorm_1', 'scale'),
+                    'output/LayerNorm/bias': ('LayerNorm_1', 'bias'),
+                }
+                if rest in m:
+                    out.append(base + m[rest])
+            elif p == 'embeddings/position_embeddings/embedding':
+                out.append(('params', 'Embed_1', 'embedding'))
+            return out
+
+        merged = dict(flat_tgt)
+        heads = None
+        for spath, sval in flat_src.items():
+            for tpath in hf_to_ours(spath):
+                tval = merged.get(tpath)
+                if tval is None:
+                    continue
+                sarr = np.asarray(sval)
+                tshape = np.shape(tval)
+                # HF stores attention kernels as [H, H]; flax MHA expects
+                # [H, heads, head_dim] (and [heads, head_dim, H] for out)
+                if sarr.shape != tshape and sarr.size == int(np.prod(tshape)):
+                    sarr = sarr.reshape(tshape)
+                if sarr.shape == tshape:
+                    merged[tpath] = jnp.asarray(sarr)
+                    n += 1
+        log(f'loaded {n}/{len(flat_tgt)} leaves from HF flax checkpoint '
+            '(word embeddings intentionally not transferred)')
+    else:
+        log(f'no recognised checkpoint in {pretrained_dir}; '
+            'training from scratch')
+        return params, 0
+
+    def unflatten(flat):
+        tree: dict = {}
+        for path, v in flat.items():
+            cur = tree
+            for k in path[:-1]:
+                cur = cur.setdefault(k, {})
+            cur[path[-1]] = v
+        return tree
+
+    return unflatten(merged), n
+
+
 def train_chemberta(train_data: List[list], val_data: List[list],
                     epochs: int = 10, batch_size: int = 16, lr: float = 1e-4,
                     anneal_rate: float = 0.9, patience: int = 5,
                     max_len: int = 256, seed: int = 0,
-                    model_kwargs: Optional[dict] = None, log=print):
+                    model_kwargs: Optional[dict] = None,
+                    pretrained_dir: Optional[str] = None, log=print):
     """Fine-tuning loop (reference chemberta_pr2_fine_tune.py:91-193):
     Adam + exponential decay, per-epoch validation, early stopping on val
     loss."""
@@ -156,6 +293,8 @@ def train_chemberta(train_data: List[list], val_data: List[list],
                         jnp.asarray(train_b[0][0]),
                         jnp.asarray(train_b[0][1]),
                         jnp.asarray(train_b[0][2]), False)
+    if pretrained_dir:
+        params, _ = load_pretrained_backbone(params, pretrained_dir, log)
     opt = optax.chain(optax.clip_by_global_norm(1.0),
                       optax.adam(optax.exponential_decay(
                           lr, max(len(train_b), 1), anneal_rate)))

@@ -133,3 +133,115 @@ def test_fp_frechet():
     diff = m.fp_frechet(['CCCCCCCC', 'CCCCC', 'CCCC', 'CCCCCC'], REF)
     assert same < 1e-6
     assert diff > same
+
+
+def test_chemberta_pretrained_roundtrip(tmp_path):
+    """save_chemberta → load_pretrained_backbone restores every leaf
+    (native-format local checkpoint, the reference's pretrained-backbone
+    loading path, chemberta_pr2_fine_tune.py:27-67)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ggpm_tpu.models.chemberta import (ChemBertaForPR2, SmilesTokenizer,
+                                           load_pretrained_backbone,
+                                           save_chemberta)
+    tok = SmilesTokenizer.build(['CCO', 'c1ccccc1', 'CC(=O)N'])
+    model = ChemBertaForPR2(vocab_size=tok.vocab_size, hidden=32, heads=2,
+                            layers=1, mlp_dim=64, max_len=16)
+    rng = jax.random.PRNGKey(0)
+    toks = jnp.asarray(tok.encode_batch(['CCO'], 16))
+    params = model.init({'params': rng, 'dropout': rng}, toks,
+                        jnp.zeros(1), jnp.zeros(1), False)
+    save_chemberta(str(tmp_path / 'chemberta'), params, tok)
+
+    params2 = model.init({'params': jax.random.PRNGKey(7),
+                          'dropout': rng}, toks, jnp.zeros(1), jnp.zeros(1),
+                         False)
+    merged, n = load_pretrained_backbone(params2, str(tmp_path),
+                                         log=lambda *a: None)
+    n_leaves = len(jax.tree.leaves(params))
+    assert n == n_leaves
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(merged)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_chemberta_hf_flax_mapping(tmp_path):
+    """A HF-Flax-RoBERTa-shaped msgpack checkpoint maps onto the backbone:
+    attention q/k/v/out, FFN and LayerNorm weights transfer; word embeddings
+    deliberately do not (tokenizer-incompatibility gap, see module doc)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax.serialization import msgpack_serialize
+    from ggpm_tpu.models.chemberta import (ChemBertaForPR2, SmilesTokenizer,
+                                           load_pretrained_backbone)
+    H, HEADS, MLP, L = 32, 2, 64, 16
+    tok = SmilesTokenizer.build(['CCO', 'c1ccccc1'])
+    model = ChemBertaForPR2(vocab_size=tok.vocab_size, hidden=H, heads=HEADS,
+                            layers=1, mlp_dim=MLP, max_len=L)
+    rng = jax.random.PRNGKey(0)
+    toks = jnp.asarray(tok.encode_batch(['CCO'], L))
+    params = model.init({'params': rng, 'dropout': rng}, toks,
+                        jnp.zeros(1), jnp.zeros(1), False)
+
+    r = np.random.default_rng(1)
+    def arr(*s):
+        return r.normal(size=s).astype(np.float32)
+    layer = {
+        'attention': {
+            'self': {k: {'kernel': arr(H, H), 'bias': arr(H)}
+                     for k in ('query', 'key', 'value')},
+            'output': {'dense': {'kernel': arr(H, H), 'bias': arr(H)},
+                       'LayerNorm': {'scale': arr(H), 'bias': arr(H)}},
+        },
+        'intermediate': {'dense': {'kernel': arr(H, MLP), 'bias': arr(MLP)}},
+        'output': {'dense': {'kernel': arr(MLP, H), 'bias': arr(H)},
+                   'LayerNorm': {'scale': arr(H), 'bias': arr(H)}},
+    }
+    hf_tree = {'roberta': {
+        'embeddings': {'word_embeddings': {'embedding': arr(600, H)},
+                       'position_embeddings': {'embedding': arr(L, H)}},
+        'encoder': {'layer': {'0': layer}},
+    }}
+    with open(tmp_path / 'flax_model.msgpack', 'wb') as f:
+        f.write(msgpack_serialize(hf_tree))
+
+    merged, n = load_pretrained_backbone(params, str(tmp_path),
+                                         log=lambda *a: None)
+    assert n >= 17  # 6 qkv + 2 out + 4 LN + 4 FFN + 1 pos-embed
+    q = merged['params']['TransformerEncoderLayer_0'][
+        'MultiHeadDotProductAttention_0']['query']['kernel']
+    np.testing.assert_allclose(
+        np.asarray(q).reshape(H, H),
+        layer['attention']['self']['query']['kernel'], rtol=1e-6)
+    # word embeddings untouched
+    np.testing.assert_array_equal(
+        np.asarray(merged['params']['Embed_0']['embedding']),
+        np.asarray(params['params']['Embed_0']['embedding']))
+
+
+def test_datafolder_shards_disjoint_and_cover(tmp_path):
+    """DataFolder(num_shards=k) shard batches are disjoint across shards and
+    their union covers every batch (multi-host input path,
+    data/dataset.py DataFolder)."""
+    import pickle
+    d = tmp_path / 'shards'
+    d.mkdir()
+    all_ids = []
+    for fi in range(5):
+        batches = [f'batch-{fi}-{bi}' for bi in range(4)]
+        all_ids += batches
+        with open(d / f'tensors-{fi}.pkl', 'wb') as f:
+            pickle.dump(batches, f)
+    from ggpm_tpu.data.dataset import DataFolder
+    k = 3
+    seen = []
+    for si in range(k):
+        seen.append(list(DataFolder(str(d), 4, shuffle=False,
+                                    num_shards=k, shard_index=si)))
+    flat = [b for s in seen for b in s]
+    assert len(flat) == len(all_ids)
+    assert set(flat) == set(all_ids)
+    for i in range(k):
+        for j in range(i + 1, k):
+            assert not set(seen[i]) & set(seen[j])
