@@ -16,9 +16,19 @@ the estimate is generous to the reference).
 
 import json
 import os
+import sys
 import time
 
 REFERENCE_MOLS_PER_SEC = 60.0
+
+
+def _progress(msg):
+    # stderr only — the driver parses the single JSON line on stdout
+    print(f'[bench +{time.time() - _T0:.0f}s] {msg}', file=sys.stderr,
+          flush=True)
+
+
+_T0 = time.time()
 
 
 def main():
@@ -55,6 +65,7 @@ def main():
             return None
 
     batches = [b for b in map(tensorize_one, chunks) if b is not None]
+    _progress(f'tensorized {len(batches)} batches')
     if not batches:
         print(json.dumps({'metric': 'train_mols_per_sec', 'value': 0.0,
                           'unit': 'mols/sec', 'vs_baseline': 0.0}))
@@ -74,12 +85,14 @@ def main():
     opt = make_optimizer(lr=1e-3, clip_norm=20.0, anneal_rate=0.9,
                          steps_per_epoch=max(len(bench_batches), 1))
     trainer = Trainer(model, opt, vocab.mask, beta=0.1, print_iter=10 ** 9)
+    _progress('initializing model')
     params, opt_state = trainer.init(bench_batches[0])
 
     # pre-upload batches (training streams batches through a double-buffered
     # host pipeline; the steady-state step itself is what we measure)
     dev_batches = [trainer._device_batch(mb) for mb in bench_batches]
 
+    _progress('warmup / compile')
     # warmup through compilation until the step time stabilises
     for _ in range(2):
         for db in dev_batches:
@@ -87,6 +100,7 @@ def main():
             params, opt_state, _, _ = trainer.step_fn(params, opt_state, db, r)
         jax.block_until_ready(params)
 
+    _progress('timed train loop')
     # timed steady state (~15s)
     n_mols = 0
     t0 = time.time()
@@ -100,11 +114,36 @@ def main():
     elapsed = time.time() - t0
     mols_per_sec = n_mols / elapsed
 
+    # ---- decode throughput (autoregressive generation from the prior) ----
+    # one fused device call (= one tunnel round-trip) per step, so decode
+    # throughput scales with batch size; B=120 is the quality-run regime
+    import numpy as np
+    from ggpm_tpu.models.decode import decode_motif
+    # 40-step cap bounds worst-case host chemistry on a lightly-trained
+    # model (an untrained decoder never emits backtracks, so molecules grow
+    # monotonically and per-step chem cost grows with them)
+    dec_b, dec_steps = 120, 40
+    z = np.random.default_rng(7).standard_normal(
+        (dec_b, cfg.latent_size)).astype(np.float32)
+    _progress('decode warmup / compile')
+    decode_motif(model, params, vocab, common_atom_vocab, z[:dec_b],
+                 greedy=True, max_decode_step=dec_steps, log_steps=False)
+    _progress('timed decode')
+    t0 = time.time()
+    _, smiles = decode_motif(model, params, vocab, common_atom_vocab, z,
+                             greedy=True, max_decode_step=dec_steps,
+                             log_steps=False)
+    dec_elapsed = time.time() - t0
+    decode_mols_per_sec = dec_b / dec_elapsed
+
     print(json.dumps({
         'metric': 'train_mols_per_sec',
         'value': round(mols_per_sec, 2),
         'unit': 'mols/sec',
         'vs_baseline': round(mols_per_sec / REFERENCE_MOLS_PER_SEC, 2),
+        'decode_mols_per_sec': round(decode_mols_per_sec, 2),
+        'decode_valid_frac': round(
+            sum(s is not None for s in smiles) / dec_b, 3),
     }))
 
 

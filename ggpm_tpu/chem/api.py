@@ -7,6 +7,7 @@ tpu-native replacement for the RDKit calls in the reference's chemistry layer
 
 from __future__ import annotations
 
+import functools as _functools
 from typing import Iterable, Optional
 
 from .aromatic import kekulize, perceive_aromaticity
@@ -38,6 +39,15 @@ def get_mol(smiles: str) -> Optional[Mol]:
     if smiles is None:
         return None
     return mol_from_smiles(smiles)
+
+
+@_functools.lru_cache(maxsize=16384)
+def get_mol_shared(smiles: str) -> Optional[Mol]:
+    """Memoized ``get_mol`` for hot paths that treat the result as
+    READ-ONLY (decode-time motif lookups parse the same vocab ismiles
+    thousands of times; parse+sanitize was ~45% of steady-state decode).
+    Callers must not mutate the returned Mol — clone first if needed."""
+    return get_mol(smiles)
 
 
 import os as _os

@@ -110,6 +110,27 @@ def _try_assemble(tree, graph, vocab, b, new_node, fa_node, cls_beam,
     return False
 
 
+_KERNEL_CACHE: dict = {}
+
+
+def _get_kernel(cls, model, params, vocab_mask, beam):
+    """Reuse kernel objects across decode calls.
+
+    ``jax.jit`` caches compilations per function object; each kernel holds
+    fresh jit closures, so constructing a kernel per decode call would
+    recompile every step function on every call (~minutes at quality-run
+    batch sizes).  Keyed by object identity: params pytrees are immutable
+    and long-lived in every driver (trainer state / loaded checkpoint)."""
+    key = (cls, id(model), id(params), id(vocab_mask), beam)
+    kern = _KERNEL_CACHE.get(key)
+    if kern is None:
+        kern = cls(model, params, vocab_mask, beam)
+        # keep the keyed objects alive so id() keys can't be recycled
+        kern._cache_refs = (model, params, vocab_mask)
+        _KERNEL_CACHE[key] = kern
+    return kern
+
+
 class MotifDecodeKernel:
     """Jit-compiled per-step device functions bound to (model, params)."""
 
@@ -119,57 +140,92 @@ class MotifDecodeKernel:
         self.mask = jnp.asarray(vocab_mask)
         self.beam = beam
 
+        # Params and the vocab mask must be runtime ARGUMENTS of the jitted
+        # functions, never closure-captured: captured arrays become
+        # trace-time constants, so (a) every param leaf is fetched from the
+        # device and embedded as an MLIR literal at lowering time (minutes
+        # over the TPU relay), and (b) tracing advanced indexing on a
+        # constant mask (``mask[top_cls]`` in hier_topk) takes minutes —
+        # measured 320s vs 0.1s with the mask passed as an argument.
         def dec(name, static_argnums=()):
-            def f(*args):
+            def f(params, *args):
                 return model.apply(
                     params, *args,
                     method=lambda m, *a: getattr(m._decoder(), name)(*a))
-            return jax.jit(f, static_argnums=static_argnums)
+            jf = jax.jit(f, static_argnums=tuple(1 + i for i in static_argnums))
+            return lambda *a: jf(self.params, *a)
 
         self.init_state = dec('dec_init_state', static_argnums=(0,))
         self.update = dec('dec_update')
         self.topo = dec('dec_topo')
         self.cls = dec('dec_cls')
         self.root_cls = dec('dec_root_cls')
-        _mask = self.mask
 
-        def fused(state, rows, src_clab, pos, bgraph_rows, root_vecs):
+        def fused(params, state, rows, src_clab, pos, bgraph_rows, root_vecs,
+                  mask):
             return model.apply(
                 params, state, rows, src_clab, pos, bgraph_rows, root_vecs,
-                _mask, beam,
+                mask, beam,
                 method=lambda m, *a: m._decoder().dec_update_cls_topk(*a))
-        self.update_cls_topk = jax.jit(fused)
-        self._topk = jax.jit(lambda c, i: hier_topk(c, i, self.mask, beam))
+        _update_cls_topk = jax.jit(fused)
+        self.update_cls_topk = \
+            lambda *a: _update_cls_topk(self.params, *a, self.mask)
+
+        def step(params, state, v_clab, agraph_rows, can_expand, u, new_rows,
+                 exp_src_clab, exp_bg_rows, bt_valid, bt_src_clab, bt_pos,
+                 bt_bg_rows, root_vecs, mask):
+            return model.apply(
+                params, state, v_clab, agraph_rows, can_expand, u, new_rows,
+                exp_src_clab, exp_bg_rows, bt_valid, bt_src_clab, bt_pos,
+                bt_bg_rows, root_vecs, mask, beam,
+                method=lambda m, *a: m._decoder().dec_step_fused(*a))
+        _step_fused = jax.jit(step)
+        self.step_fused = lambda *a: _step_fused(self.params, *a, self.mask)
+        self._topk = jax.jit(lambda c, i, m: hier_topk(c, i, m, beam))
 
     def topk(self, cls_scores, icls_scores):
-        return self._topk(cls_scores, icls_scores)
+        return self._topk(cls_scores, icls_scores, self.mask)
 
 
 class HierDecodeKernel:
     """Jitted step functions for the hierarchical decoder."""
 
     def __init__(self, model, params, vocab_mask: np.ndarray, beam: int = 5):
+        self.params = params
         self.mask = jnp.asarray(vocab_mask)
         self.beam = beam
 
+        # params/mask as runtime arguments — see MotifDecodeKernel for why
+        # closure-captured arrays make lowering take minutes
         def dec(name, static_argnums=()):
-            def f(*args):
+            def f(params, *args):
                 return model.apply(
                     params, *args,
                     method=lambda m, *a: getattr(m._decoder(), name)(*a))
-            return jax.jit(f, static_argnums=static_argnums)
+            jf = jax.jit(f, static_argnums=tuple(1 + i for i in static_argnums))
+            return lambda *a: jf(self.params, *a)
 
         self.init_state = dec('hdec_init', static_argnums=(0, 1, 2, 3))
         self.graph_topo = dec('hdec_graph_topo')
         self.mess_update = dec('hdec_mess_update')
         self.assm = dec('hdec_assm')
-        _mask = self.mask
 
-        def fused(state, *args):
+        def fused(params, state, *args):
+            *rest, mask = args
             return model.apply(
-                params, state, *args, _mask, beam,
+                params, state, *rest, mask, beam,
                 method=lambda m, *a: m._decoder().hdec_mess_cls_topk(*a))
-        self.mess_cls_topk = jax.jit(fused)
+        _mess_cls_topk = jax.jit(fused)
+        self.mess_cls_topk = \
+            lambda *a: _mess_cls_topk(self.params, *a, self.mask)
+
+        def step(params, state, *args):
+            *rest, mask = args
+            return model.apply(
+                params, state, *rest, mask, beam,
+                method=lambda m, *a: m._decoder().hdec_step_fused(*a))
+        _step_fused = jax.jit(step)
+        self.step_fused = lambda *a: _step_fused(self.params, *a, self.mask)
 
 
 def decode_hier(model, params, vocab: PairVocab, avocab: Vocab,
@@ -195,7 +251,7 @@ def decode_hier(model, params, vocab: PairVocab, avocab: Vocab,
                      max_edges=max_edges + 100)
     stack: List[List[int]] = [[] for _ in range(batch_size)]
 
-    kern = HierDecodeKernel(model, params, vocab.mask, beam)
+    kern = _get_kernel(HierDecodeKernel, model, params, vocab.mask, beam)
 
     # root prediction: cls/icls heads on the latent-derived init vector
     # (reference decoder.py:313-324)
@@ -235,6 +291,8 @@ def decode_hier(model, params, vocab: PairVocab, avocab: Vocab,
     max_nb = tree.max_nb
     g_nb = graph.max_nb
 
+    u_greedy = np.full(batch_size, 0.5, dtype=np.float32)
+
     for t in range(max_decode_step):
         for r in results:
             r.append({})
@@ -254,22 +312,42 @@ def decode_hier(model, params, vocab: PairVocab, avocab: Vocab,
         fr = g_rows.reshape(-1)
         fn = g_nodes.reshape(-1)
 
-        # frontier readout arrays (fused with the graph refresh below)
+        # frontier readout + speculative branch inputs (ONE device call per
+        # step; see hdec_step_fused / dec_step_fused docstrings)
         v_nodes = np.zeros(batch_size, dtype=np.int32)
         v_clab = np.zeros(batch_size, dtype=np.int32)
         v_ilab = np.zeros(batch_size, dtype=np.int32)
         v_cg = np.zeros((batch_size, kn), dtype=np.int32)
         v_ag = np.zeros((batch_size, max_nb), dtype=np.int32)
-        for b in batch_list:
+        can_exp = np.zeros(batch_size, dtype=bool)
+        new_rows = np.zeros(batch_size, dtype=np.int32)
+        bt_valid = np.zeros(batch_size, dtype=bool)
+        bt_pos = np.zeros(batch_size, dtype=np.int32)
+        bt_bg = np.zeros((batch_size, max_nb), dtype=np.int32)
+        first = tree.reserve_edges(len(batch_list))
+        reserved = {}
+        for r_i, b in enumerate(batch_list):
             v = stack[b][-1]
+            row = first + r_i
+            reserved[b] = row
+            new_rows[b] = row
             v_nodes[b] = v
             v_clab[b] = tree.fnode[v, 0]
             v_ilab[b] = tree.fnode[v, 1]
             v_cg[b] = tree.cgraph[v][:kn]
             v_ag[b] = tree.agraph[v]
+            can_exp[b] = tree.can_expand(v)
+            if len(stack[b]) >= 2:
+                top = stack[b][-2]
+                bt_valid[b] = True
+                bt_pos[b] = min(tree.in_degree(top), 19)
+                rev = tree.edge_dict.get((top, v), 0)
+                bg = tree.agraph[v].copy()
+                bg[bg == rev] = 0
+                bt_bg[b] = bg
+        u = u_greedy if greedy else rng.random(batch_size).astype(np.float32)
 
-        # ---- fused call 1: atom refresh + frontier topology --------------
-        state, topo_logits = kern.graph_topo(
+        state, packed = kern.step_fused(
             state, jnp.asarray(g_rows),
             jnp.asarray(graph.fmess[fr, 0].reshape(g_rows.shape)),
             jnp.asarray(graph.fmess[fr, 1].reshape(g_rows.shape)),
@@ -278,60 +356,36 @@ def decode_hier(model, params, vocab: PairVocab, avocab: Vocab,
             jnp.asarray(g_nodes),
             jnp.asarray(graph.fnode[fn, 0].reshape(g_nodes.shape)),
             jnp.asarray(graph.agraph[fn].reshape(batch_size, kn, g_nb)),
-            jnp.asarray(v_nodes), jnp.asarray(v_clab), jnp.asarray(v_ilab),
-            jnp.asarray(v_cg), jnp.asarray(v_ag), root_vecs)
-        topo_logits = np.asarray(topo_logits)
-        topo_p = 1.0 / (1.0 + np.exp(-topo_logits))
-        topo_pred = topo_p if greedy else \
-            (rng.random(batch_size) < topo_p).astype(np.float64)
+            jnp.asarray(v_nodes), jnp.asarray(v_clab),
+            jnp.asarray(v_ilab), jnp.asarray(v_cg), jnp.asarray(v_ag),
+            jnp.asarray(can_exp), jnp.asarray(u), jnp.asarray(new_rows),
+            jnp.asarray(v_ag), jnp.asarray(bt_valid),
+            jnp.asarray(bt_pos), jnp.asarray(bt_bg), root_vecs)
+        # ONE host sync / tunnel round-trip per step
+        packed = np.asarray(packed)
+        topo_p = 1.0 / (1.0 + np.exp(-packed[:, 0]))
+        choose = packed[:, 1] > 0.5
+        scores = packed[:, 2:2 + beam]
+        cls_topk = packed[:, 2 + beam:2 + 2 * beam].astype(np.int32)
+        icls_topk = packed[:, 2 + 2 * beam:2 + 3 * beam].astype(np.int32)
 
-        # ---- tree edits --------------------------------------------------
-        new_rows = np.zeros(batch_size, dtype=np.int32)
-        src_nodes = np.zeros(batch_size, dtype=np.int32)
-        pos_feat = np.zeros(batch_size, dtype=np.int32)
+        # ---- replay the device's branch choice on the host tree ---------
         expand_bids = []
         for b in batch_list:
             results[b][-1]['Generate fragment'] = float(topo_p[b])
-            if topo_pred[b] > 0.5 and tree.can_expand(stack[b][-1]):
+            row = reserved[b]
+            if choose[b]:
                 parent = stack[b][-1]
                 new_node = tree.add_node()
-                new_edge = tree.add_edge(parent, new_node, (parent, new_node, 0))
+                tree.add_edge(parent, new_node, (parent, new_node, 0), row=row)
                 stack[b].append(new_node)
-                new_rows[b] = new_edge
-                src_nodes[b] = parent
                 expand_bids.append(b)
             else:
                 child = stack[b].pop()
                 if stack[b]:
                     top = stack[b][-1]
                     nth_child = tree.in_degree(top)
-                    new_edge = tree.add_edge(child, top, (child, top, nth_child))
-                    new_rows[b] = new_edge
-                    src_nodes[b] = child
-                    pos_feat[b] = min(nth_child, 19)
-
-        # ---- fused call 2: message update + motif top-k ------------------
-        if expand_bids:
-            state, scores, cls_topk, icls_topk = kern.mess_cls_topk(
-                state, jnp.asarray(new_rows), jnp.asarray(src_nodes),
-                jnp.asarray(tree.fnode[src_nodes, 0]),
-                jnp.asarray(tree.fnode[src_nodes, 1]),
-                jnp.asarray(tree.cgraph[src_nodes][:, :kn]),
-                jnp.asarray(pos_feat),
-                jnp.asarray(tree.bgraph[new_rows]),
-                jnp.asarray(tree.bgraph[new_rows]), root_vecs)
-            scores = np.asarray(scores)
-            cls_topk = np.asarray(cls_topk)
-            icls_topk = np.asarray(icls_topk)
-        else:
-            state = kern.mess_update(
-                state, jnp.asarray(new_rows), jnp.asarray(src_nodes),
-                jnp.asarray(tree.fnode[src_nodes, 0]),
-                jnp.asarray(tree.fnode[src_nodes, 1]),
-                jnp.asarray(tree.cgraph[src_nodes][:, :kn]),
-                jnp.asarray(pos_feat),
-                jnp.asarray(tree.bgraph[new_rows]),
-                jnp.asarray(tree.bgraph[new_rows]))
+                    tree.add_edge(child, top, (child, top, nth_child), row=row)
 
         def score_cands(b, smiles, inter_cands, anchor_smiles, nth_child):
             # device-scored candidate ranking against current atom hiddens
@@ -407,7 +461,7 @@ def decode_motif(model, params, vocab: PairVocab, avocab: Vocab,
     stack: List[List[int]] = [[] for _ in range(batch_size)]
 
     # --- root prediction (reference decoder.py:914-948) -------------------
-    kern = MotifDecodeKernel(model, params, vocab.mask, beam)
+    kern = _get_kernel(MotifDecodeKernel, model, params, vocab.mask, beam)
     cls_scores, icls_scores = kern.root_cls(root_vecs)
     root_cls = np.asarray(jnp.argmax(cls_scores, axis=-1))
     icls_masked = np.asarray(icls_scores) + vocab.get_mask(root_cls)
@@ -436,6 +490,8 @@ def decode_motif(model, params, vocab: PairVocab, avocab: Vocab,
     state = kern.init_state(n_rows, root_vecs)
     max_nb = tree.max_nb
 
+    u_greedy = np.full(batch_size, 0.5, dtype=np.float32)
+
     for t in range(max_decode_step):
         for r in results:
             r.append({})
@@ -443,62 +499,66 @@ def decode_motif(model, params, vocab: PairVocab, avocab: Vocab,
         if not batch_list:
             break
 
-        # ---- call 1: frontier readout → topology ------------------------
+        # ---- speculative step inputs: both branches precomputed ---------
+        # (single fused device call per step; see dec_step_fused docstring)
         v_clab = np.zeros(batch_size, dtype=np.int32)
         agraph_rows = np.zeros((batch_size, max_nb), dtype=np.int32)
-        lat_mask = np.zeros(batch_size, dtype=bool)
-        for b in batch_list:
+        can_exp = np.zeros(batch_size, dtype=bool)
+        new_rows = np.zeros(batch_size, dtype=np.int32)
+        bt_valid = np.zeros(batch_size, dtype=bool)
+        bt_pos = np.zeros(batch_size, dtype=np.int32)
+        bt_bg = np.zeros((batch_size, max_nb), dtype=np.int32)
+        first = tree.reserve_edges(len(batch_list))
+        reserved = {}
+        for r_i, b in enumerate(batch_list):
             v = stack[b][-1]
+            row = first + r_i
+            reserved[b] = row
+            new_rows[b] = row
             v_clab[b] = tree.fnode[v, 0]
             agraph_rows[b] = tree.agraph[v]
-            lat_mask[b] = True
-        topo_logits = np.asarray(kern.topo(state, jnp.asarray(v_clab),
-                                           jnp.asarray(agraph_rows), root_vecs))
-        topo_p = 1.0 / (1.0 + np.exp(-topo_logits))
-        if greedy:
-            topo_pred = topo_p
-        else:
-            topo_pred = (rng.random(batch_size) < topo_p).astype(np.float64)
+            can_exp[b] = tree.can_expand(v)
+            if len(stack[b]) >= 2:
+                top = stack[b][-2]
+                bt_valid[b] = True
+                bt_pos[b] = min(tree.in_degree(top), 19)
+                rev = tree.edge_dict.get((top, v), 0)
+                bg = tree.agraph[v].copy()
+                bg[bg == rev] = 0
+                bt_bg[b] = bg
+        u = u_greedy if greedy else rng.random(batch_size).astype(np.float32)
 
-        # ---- tree edits: expand or backtrack ----------------------------
-        new_rows = np.zeros(batch_size, dtype=np.int32)
-        src_clab = np.zeros(batch_size, dtype=np.int32)
-        pos_feat = np.zeros(batch_size, dtype=np.int32)
+        state, packed = kern.step_fused(
+            state, jnp.asarray(v_clab), jnp.asarray(agraph_rows),
+            jnp.asarray(can_exp), jnp.asarray(u), jnp.asarray(new_rows),
+            jnp.asarray(v_clab), jnp.asarray(agraph_rows),
+            jnp.asarray(bt_valid), jnp.asarray(v_clab),
+            jnp.asarray(bt_pos), jnp.asarray(bt_bg), root_vecs)
+        # ONE host sync / tunnel round-trip per step
+        packed = np.asarray(packed)
+        topo_p = 1.0 / (1.0 + np.exp(-packed[:, 0]))
+        choose = packed[:, 1] > 0.5
+        scores = packed[:, 2:2 + beam]
+        cls_topk = packed[:, 2 + beam:2 + 2 * beam].astype(np.int32)
+        icls_topk = packed[:, 2 + 2 * beam:2 + 3 * beam].astype(np.int32)
+
+        # ---- replay the device's branch choice on the host tree ---------
         expand_bids = []
         for b in batch_list:
             results[b][-1]['Generate fragment'] = float(topo_p[b])
-            if topo_pred[b] > 0.5 and tree.can_expand(stack[b][-1]):
+            row = reserved[b]
+            if choose[b]:
                 parent = stack[b][-1]
                 new_node = tree.add_node()
-                new_edge = tree.add_edge(parent, new_node, (parent, new_node, 0))
+                tree.add_edge(parent, new_node, (parent, new_node, 0), row=row)
                 stack[b].append(new_node)
-                new_rows[b] = new_edge
-                src_clab[b] = tree.fnode[parent, 0]
-                pos_feat[b] = 0
                 expand_bids.append(b)
             else:
                 child = stack[b].pop()
                 if stack[b]:
                     top = stack[b][-1]
                     nth_child = tree.in_degree(top)
-                    new_edge = tree.add_edge(child, top, (child, top, nth_child))
-                    new_rows[b] = new_edge
-                    src_clab[b] = tree.fnode[child, 0]
-                    pos_feat[b] = min(nth_child, 19)
-
-        # ---- call 2 (fused): message update + motif top-k ---------------
-        bg_rows = tree.bgraph[new_rows]
-        if expand_bids:
-            state, scores, cls_topk, icls_topk = kern.update_cls_topk(
-                state, jnp.asarray(new_rows), jnp.asarray(src_clab),
-                jnp.asarray(pos_feat), jnp.asarray(bg_rows), root_vecs)
-            scores = np.asarray(scores)
-            cls_topk = np.asarray(cls_topk)
-            icls_topk = np.asarray(icls_topk)
-        else:
-            state = kern.update(state, jnp.asarray(new_rows),
-                                jnp.asarray(src_clab), jnp.asarray(pos_feat),
-                                jnp.asarray(bg_rows))
+                    tree.add_edge(child, top, (child, top, nth_child), row=row)
 
         for b in expand_bids:
             new_node, fa_node = stack[b][-1], stack[b][-2]

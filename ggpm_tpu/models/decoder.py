@@ -475,3 +475,46 @@ class MotifDecoder(nn.Module):
     def dec_root_cls(self, root_vecs):
         init = self.root_vecs_to_hidden(root_vecs)
         return self.cls_logits(init, root_vecs)
+
+    def dec_step_fused(self, state, v_clab, agraph_rows, can_expand, u,
+                       new_rows, exp_src_clab, exp_bg_rows,
+                       bt_valid, bt_src_clab, bt_pos, bt_bg_rows,
+                       root_vecs, vocab_mask, beam: int):
+        """ONE device call per decode step (speculative branch selection).
+
+        The per-step decode round-trip is tunnel-latency-bound (~26 ms per
+        host sync on the TPU relay, independent of batch size), so the old
+        topology-call → host-edit → update-call split paid two syncs per
+        step.  Both branches' message inputs are computable *before* the
+        topology decision — an expand edge's predecessors are exactly the
+        frontier's incoming edges, a backtrack edge's are the frontier's
+        minus the reverse edge — so the host passes both input sets and the
+        device selects per sample:
+
+          expand   iff  sigmoid(topo) > u  and  the frontier can expand
+          backtrack otherwise (message row only if a backtrack edge exists)
+
+        ``u`` is 0.5 for greedy decoding or a uniform sample for stochastic
+        decoding (reference decoder.py:999-1004).  Returns
+        (state, topo_logits, choose, scores, cls_topk, icls_topk); the host
+        replays the identical ``choose`` to keep tree state in lockstep.
+        """
+        from .decode import hier_topk
+        topo_logits = self.dec_topo(state, v_clab, agraph_rows, root_vecs)
+        choose = (jax.nn.sigmoid(topo_logits) > u) & can_expand
+        valid = choose | bt_valid
+        rows = jnp.where(valid, new_rows, 0)
+        src_clab = jnp.where(choose, exp_src_clab, bt_src_clab)
+        pos = jnp.where(choose, 0, bt_pos)
+        bg = jnp.where(choose[:, None], exp_bg_rows, bt_bg_rows)
+        state = self.dec_update(state, rows, src_clab, pos, bg)
+        cls_scores, icls_scores = self.dec_cls(state, rows, root_vecs)
+        scores, cls_k, icls_k = hier_topk(cls_scores, icls_scores,
+                                          vocab_mask, beam)
+        # pack every host-bound output into ONE array: each fetched array
+        # pays a full tunnel round-trip, so five outputs would cost 5 RTTs
+        packed = jnp.concatenate(
+            [topo_logits[:, None], choose.astype(jnp.float32)[:, None],
+             scores, cls_k.astype(jnp.float32),
+             icls_k.astype(jnp.float32)], axis=1)
+        return state, packed

@@ -23,26 +23,34 @@ from .rnn import make_cell
 
 
 class MPNEncoder(nn.Module):
-    """One message-passing level (reference encoder.py:8-38)."""
+    """One message-passing level (reference encoder.py:8-38).  ``dtype``
+    selects the compute precision of the depth loop (bf16 halves state HBM
+    traffic); the node readout is returned in f32."""
     rnn_type: str
     hidden_size: int
     depth: int
     dropout: float = 0.0
+    dtype: Optional[Any] = None
 
     def setup(self):
-        self.W_o = nn.Dense(self.hidden_size)
+        self.W_o = nn.Dense(self.hidden_size, dtype=self.dtype)
         self.drop = nn.Dropout(self.dropout)
-        self.rnn = make_cell(self.rnn_type, self.hidden_size, self.depth)
+        self.rnn = make_cell(self.rnn_type, self.hidden_size, self.depth,
+                             dtype=self.dtype)
 
     def __call__(self, hnode, hmess, agraph, bgraph, deterministic=True):
+        if self.dtype is not None:
+            hmess = hmess.astype(self.dtype)
         state = self.rnn(hmess, bgraph)
         h = self.rnn.hidden(state)
         nei_message = nei_sum(h, agraph)
-        node_hiddens = jnp.concatenate([hnode, nei_message], axis=-1)
+        node_hiddens = jnp.concatenate(
+            [hnode.astype(nei_message.dtype), nei_message], axis=-1)
         node_hiddens = self.drop(nn.relu(self.W_o(node_hiddens)),
                                  deterministic=deterministic)
         node_hiddens = node_hiddens.at[0].set(0.0)  # padding node
-        return node_hiddens, h
+        return (node_hiddens.astype(jnp.float32),
+                h.astype(jnp.float32))
 
 
 def pos_onehot(idx: jnp.ndarray) -> jnp.ndarray:
@@ -61,6 +69,7 @@ class MotifEncoder(nn.Module):
     hidden_size: int = 250
     depthT: int = 20
     dropout: float = 0.0
+    compute_dtype: Optional[Any] = None
     E_c: Optional[nn.Module] = None
     E_i: Optional[nn.Module] = None
 
@@ -74,7 +83,8 @@ class MotifEncoder(nn.Module):
         self.tree_encoder = MPNEncoder(rnn_type=self.rnn_type,
                                        hidden_size=self.hidden_size,
                                        depth=self.depthT,
-                                       dropout=self.dropout)
+                                       dropout=self.dropout,
+                                       dtype=self.compute_dtype)
 
     def _ec(self):
         return self.E_c if self.E_c is not None else self.E_c_mod
@@ -114,6 +124,7 @@ class HierMPNEncoder(nn.Module):
     depthT: int = 20
     depthG: int = 20
     dropout: float = 0.0
+    compute_dtype: Optional[Any] = None
     E_c: Optional[nn.Module] = None
     E_i: Optional[nn.Module] = None
 
@@ -128,13 +139,16 @@ class HierMPNEncoder(nn.Module):
         self.W_root = nn.Dense(self.hidden_size)
         self.tree_encoder = MPNEncoder(rnn_type=self.rnn_type,
                                        hidden_size=self.hidden_size,
-                                       depth=self.depthT, dropout=self.dropout)
+                                       depth=self.depthT, dropout=self.dropout,
+                                       dtype=self.compute_dtype)
         self.inter_encoder = MPNEncoder(rnn_type=self.rnn_type,
                                         hidden_size=self.hidden_size,
-                                        depth=self.depthT, dropout=self.dropout)
+                                        depth=self.depthT, dropout=self.dropout,
+                                        dtype=self.compute_dtype)
         self.graph_encoder = MPNEncoder(rnn_type=self.rnn_type,
                                         hidden_size=self.hidden_size,
-                                        depth=self.depthG, dropout=self.dropout)
+                                        depth=self.depthG, dropout=self.dropout,
+                                        dtype=self.compute_dtype)
 
     def _ec(self):
         return self.E_c if self.E_c is not None else self.E_c_mod

@@ -470,6 +470,41 @@ class HierDecoder(nn.Module):
                                           vocab_mask, beam)
         return state, scores, cls_k, icls_k
 
+    def hdec_step_fused(self, state, g_rows, g_src_av, g_bt, g_nth,
+                        g_bg_rows, g_nodes, g_node_av, g_ag_rows,
+                        v_nodes, v_clab, v_ilab, v_cgraph, v_ag_rows,
+                        can_expand, u, new_rows, exp_bg_rows,
+                        bt_valid, bt_pos, bt_bg_rows,
+                        root_vecs, vocab_mask, beam: int):
+        """ONE device call per hier decode step: atom-level refresh of the
+        previous step's cluster + frontier topology + speculative message
+        update + motif top-k (see MotifDecoder.dec_step_fused for the
+        branch-selection rationale; in the hier tree both branches share the
+        frontier as message source, only position and predecessor rows
+        differ)."""
+        from .decode import hier_topk
+        state = self.hdec_graph_update(state, g_rows, g_src_av, g_bt, g_nth,
+                                       g_bg_rows, g_nodes, g_node_av,
+                                       g_ag_rows)
+        state, topo_logits = self.hdec_topo(state, v_nodes, v_clab, v_ilab,
+                                            v_cgraph, v_ag_rows, root_vecs)
+        choose = (jax.nn.sigmoid(topo_logits) > u) & can_expand
+        valid = choose | bt_valid
+        rows = jnp.where(valid, new_rows, 0)
+        pos = jnp.where(choose, 0, bt_pos)
+        bg = jnp.where(choose[:, None], exp_bg_rows, bt_bg_rows)
+        state = self.hdec_mess_update(state, rows, v_nodes, v_clab, v_ilab,
+                                      v_cgraph, pos, bg, bg)
+        cls_scores, icls_scores = self.hdec_cls(state, rows, root_vecs)
+        scores, cls_k, icls_k = hier_topk(cls_scores, icls_scores,
+                                          vocab_mask, beam)
+        # pack host-bound outputs into ONE array — one tunnel RTT per step
+        packed = jnp.concatenate(
+            [topo_logits[:, None], choose.astype(jnp.float32)[:, None],
+             scores, cls_k.astype(jnp.float32),
+             icls_k.astype(jnp.float32)], axis=1)
+        return state, packed
+
     def hdec_assm(self, state, cand_atoms, icls_ids, n_icls, nth, ctx):
         """Per-candidate assembly scores against current atom hiddens
         (reference enum_attach + get_assm_score in decode,

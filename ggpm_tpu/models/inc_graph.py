@@ -15,6 +15,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from ..chem import Atom, Mol, atom_equal, bond_match, copy_atom, get_mol, \
+    get_mol_shared, \
     get_smiles_aromatic, get_sub_mol, sanitize_in_place
 from ..graph.chemutils import get_anchor_smiles
 
@@ -27,6 +28,7 @@ class IncBase:
                  max_edges: int = 500, max_nb: int = 12):
         self.max_nb = max_nb
         self.n_nodes = 1                      # node 0 = padding
+        self.next_edge = 1                    # edge row 0 = padding
         self.edge_dict: Dict[Tuple[int, int], int] = {}
         self.preds: Dict[int, List[int]] = defaultdict(list)   # node -> predecessor nodes
         self.succs: Dict[int, List[int]] = defaultdict(list)
@@ -53,10 +55,22 @@ class IncBase:
     def can_expand(self, idx: int) -> bool:
         return self.in_degree(idx) < self.max_nb
 
-    def add_edge(self, i: int, j: int, feature=None) -> int:
+    def reserve_edges(self, n: int) -> int:
+        """Reserve ``n`` consecutive edge rows (speculative decode: rows are
+        promised to the device before the branch decision; unused
+        reservations are burned).  Returns the first reserved row."""
+        first = self.next_edge
+        self.next_edge += n
+        return first
+
+    def add_edge(self, i: int, j: int, feature=None, row: int = None) -> int:
         if (i, j) in self.edge_dict:
             return self.edge_dict[(i, j)]
-        idx = len(self.edge_dict) + 1
+        if row is not None:
+            idx = row
+        else:
+            idx = self.next_edge
+            self.next_edge += 1
         self.edge_dict[(i, j)] = idx
         self.preds[j].append(i)
         self.succs[i].append(j)
@@ -133,7 +147,7 @@ class IncGraph(IncBase):
         """Graft a motif onto the shared molecule via attachment-atom map
         (reference inc_graph.py:136-187).  ``inter_label`` pairs
         (existing mol atom, motif atom)."""
-        emol = get_mol(ismiles)
+        emol = get_mol_shared(ismiles)
         atom_map = {y: x for x, y in inter_label}
         new_atoms, new_bonds, attached = [], [], []
         interior_atoms = []
@@ -189,50 +203,45 @@ class IncGraph(IncBase):
         return new_atoms, new_bonds, attached
 
     def try_add_mol(self, batch_idx: int, ismiles: str, inter_label) -> bool:
-        """Chemical-validity dry run with rollback (reference
-        inc_graph.py:190-241)."""
-        emol = get_mol(ismiles)
+        """Chemical-validity dry run (reference inc_graph.py:190-241).
+
+        The reference grafts the candidate onto the shared RWMol and reverts
+        on failure; a literal port of that mutate-and-rollback did the same
+        on the shared batch mol, and the rollback's ``remove_bond``/
+        ``remove_atom`` adjacency rebuilds (O(atoms+bonds) each, on a mol
+        holding the WHOLE batch) dominated decode wall time — 88% of the
+        steady-state decode profile.  Instead, build the merge on a
+        throwaway copy of just this sample's submol (≤ ~100 atoms) and
+        sanitize that; the shared mol is never touched, so no rollback."""
+        emol = get_mol_shared(ismiles)
         if emol is None:
             return False
         for x, y in inter_label:
             if not atom_equal(self.mol.atoms[x], emol.atoms[y]):
                 return False
 
-        atom_map = {y: x for x, y in inter_label}
-        new_atoms, new_bonds = [], []
+        batch_atoms = self.batch[batch_idx]
+        tmp = get_sub_mol(self.mol, batch_atoms)
+        sub_map = {orig: i for i, orig in enumerate(batch_atoms)}
+        atom_map = {y: sub_map[x] for x, y in inter_label}
         for i, atom in enumerate(emol.atoms):
             if i not in atom_map:
                 new_atom = copy_atom(atom, with_map=False)
                 new_atom.map_num = batch_idx
-                idx = self.mol.add_atom(new_atom)
-                atom_map[i] = idx
-                new_atoms.append(idx)
+                atom_map[i] = tmp.add_atom(new_atom)
 
-        valid = True
         for b in emol.bonds:
             a1, a2 = atom_map[b.a1], atom_map[b.a2]
             if a1 == a2:
-                valid = False
-                break
-            if self.mol.bond_between(a1, a2) is None:
-                self.mol.add_bond(a1, a2, b.order, b.aromatic)
-                new_bonds.append((a1, a2))
-
-        ok = False
-        if valid:
-            tmp = get_sub_mol(self.mol, self.batch[batch_idx] + new_atoms)
-            ok = sanitize_in_place(tmp)
-
-        for a1, a2 in new_bonds:
-            self.mol.remove_bond(a1, a2)
-        for atom in sorted(new_atoms, reverse=True):
-            self.mol.remove_atom(atom)
-        return valid and ok
+                return False
+            if tmp.bond_between(a1, a2) is None:
+                tmp.add_bond(a1, a2, b.order, b.aromatic)
+        return sanitize_in_place(tmp)
 
     def get_assm_cands(self, cluster, used, ismiles: str):
         """Enumerate attachment sites on the frontier cluster for a predicted
         motif (reference inc_graph.py:259-301)."""
-        emol = get_mol(ismiles)
+        emol = get_mol_shared(ismiles)
         if emol is None:
             return [], [], []
 

@@ -12,31 +12,34 @@ buffers whose row 0 is the all-zero padding message.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops import gather_nd, zero_row0
+from ..ops import gather_nd, nei_sum, zero_row0
 
 
 class MPNGRUCell(nn.Module):
-    """Edge-message GRU (reference rnn.py:5-59)."""
+    """Edge-message GRU (reference rnn.py:5-59).  ``dtype`` selects the
+    computation precision (bf16 halves the HBM traffic of the depth loop's
+    state round-trips; params stay f32)."""
     hidden_size: int
     depth: int
+    dtype: Optional[Any] = None
 
     def setup(self):
         h = self.hidden_size
-        self.W_z = nn.Dense(h)
-        self.W_r = nn.Dense(h, use_bias=False)
-        self.U_r = nn.Dense(h)
-        self.W_h = nn.Dense(h)
+        self.W_z = nn.Dense(h, dtype=self.dtype)
+        self.W_r = nn.Dense(h, use_bias=False, dtype=self.dtype)
+        self.U_r = nn.Dense(h, dtype=self.dtype)
+        self.W_h = nn.Dense(h, dtype=self.dtype)
 
     def init_state(self, num_mess: int, init_rows: jnp.ndarray = None):
-        h = jnp.zeros((num_mess, self.hidden_size))
+        h = jnp.zeros((num_mess, self.hidden_size), dtype=self.dtype)
         if init_rows is not None:
-            h = jnp.concatenate([h, init_rows], axis=0)
+            h = jnp.concatenate([h, init_rows.astype(h.dtype)], axis=0)
         return (h,)
 
     @staticmethod
@@ -56,37 +59,65 @@ class MPNGRUCell(nn.Module):
         return ((1.0 - z) * sum_h + z * pre_h,)
 
     def __call__(self, fmess: jnp.ndarray, bgraph: jnp.ndarray):
-        """Full dense forward: ``depth`` rounds over every message."""
+        """Full dense forward: ``depth`` rounds over every message.
+
+        Hot-loop restructure (same math as ``cell``, by linearity of the
+        dense layers): the x-side projections of every gate are
+        loop-invariant and are hoisted out of the depth loop, and the
+        per-neighbour reset-gate projection ``U_r(h_nei)`` becomes
+        project-once-then-gather — an [E, H]×[H, H] matmul instead of an
+        [E, A, H]×[H, H] one (A× fewer FLOPs).  In-loop matmul cost drops
+        from 2·(in+H)·H + A·H·H to 3·H·H per message per iteration."""
         num_mess = fmess.shape[0]
-        state = (jnp.zeros((num_mess, self.hidden_size)),)
+        in_dim = fmess.shape[-1]
+        h0 = jnp.zeros((num_mess, self.hidden_size), dtype=self.dtype)
+
+        # loop-invariant x projections (bias lives here)
+        xh0 = jnp.concatenate([fmess, h0], axis=-1)
+        xz = self.W_z(xh0)
+        xr = self.W_r(fmess)[..., None, :]
+        xh_pre = self.W_h(xh0)
+        # h-side kernel slices of the concat layers (params stay f32;
+        # cast to the compute dtype like nn.Dense(dtype=...) does)
+        kz = self.W_z.variables['params']['kernel'][in_dim:]
+        kh = self.W_h.variables['params']['kernel'][in_dim:]
+        if self.dtype is not None:
+            kz = kz.astype(self.dtype)
+            kh = kh.astype(self.dtype)
 
         def body(_, state):
-            nei = tuple(gather_nd(s, bgraph) for s in state)
-            new = self.cell(fmess, nei)
-            return tuple(zero_row0(s) for s in new)
+            h, = state
+            sum_h = nei_sum(h, bgraph)
+            z = jax.nn.sigmoid(xz + sum_h @ kz)
+            r = jax.nn.sigmoid(xr + gather_nd(self.U_r(h), bgraph))
+            sum_gated_h = (r * gather_nd(h, bgraph)).sum(axis=-2)
+            pre_h = jnp.tanh(xh_pre + sum_gated_h @ kh)
+            return (zero_row0((1.0 - z) * sum_h + z * pre_h),)
 
-        return _unrolled(body, self.depth, state)
+        return _unrolled(body, self.depth, (h0,))
 
 
 class MPNLSTMCell(nn.Module):
     """Edge-message LSTM with per-neighbour forget gates (reference
-    rnn.py:61-121)."""
+    rnn.py:61-121).  ``dtype``: see MPNGRUCell."""
     hidden_size: int
     depth: int
+    dtype: Optional[Any] = None
 
     def setup(self):
         h = self.hidden_size
-        self.W_i = nn.Dense(h)
-        self.W_o = nn.Dense(h)
-        self.W_f = nn.Dense(h)
-        self.W = nn.Dense(h)
+        self.W_i = nn.Dense(h, dtype=self.dtype)
+        self.W_o = nn.Dense(h, dtype=self.dtype)
+        self.W_f = nn.Dense(h, dtype=self.dtype)
+        self.W = nn.Dense(h, dtype=self.dtype)
 
     def init_state(self, num_mess: int, init_rows: jnp.ndarray = None):
-        h = jnp.zeros((num_mess, self.hidden_size))
-        c = jnp.zeros((num_mess, self.hidden_size))
+        h = jnp.zeros((num_mess, self.hidden_size), dtype=self.dtype)
+        c = jnp.zeros((num_mess, self.hidden_size), dtype=self.dtype)
         if init_rows is not None:
-            h = jnp.concatenate([h, init_rows], axis=0)
-            c = jnp.concatenate([c, jnp.zeros_like(init_rows)], axis=0)
+            h = jnp.concatenate([h, init_rows.astype(h.dtype)], axis=0)
+            c = jnp.concatenate([c, jnp.zeros_like(h[:init_rows.shape[0]])],
+                                axis=0)
         return (h, c)
 
     @staticmethod
@@ -107,16 +138,43 @@ class MPNLSTMCell(nn.Module):
         return (h, c)
 
     def __call__(self, fmess: jnp.ndarray, bgraph: jnp.ndarray):
+        """Full dense forward with the hoisted/projected restructure (same
+        math as ``cell`` by linearity — see MPNGRUCell.__call__).  The big
+        win is the per-neighbour forget gate: the reference computes
+        ``W_f([x, h_k])`` as an [E, A, in+H]×[in+H, H] matmul every
+        iteration (reference rnn.py:100-103); here the h-side is projected
+        once per iteration ([E, H]×[H, H]) and gathered, cutting the
+        dominant matmul cost ≈ A·(in+H)/H ≈ 36× at canonical shapes."""
         num_mess = fmess.shape[0]
-        state = (jnp.zeros((num_mess, self.hidden_size)),
-                 jnp.zeros((num_mess, self.hidden_size)))
+        in_dim = fmess.shape[-1]
+        h0 = jnp.zeros((num_mess, self.hidden_size), dtype=self.dtype)
+
+        # loop-invariant x projections (biases live here)
+        xh0 = jnp.concatenate([fmess, h0], axis=-1)
+        xi = self.W_i(xh0)
+        xo = self.W_o(xh0)
+        xu = self.W(xh0)
+        xf = self.W_f(xh0)[..., None, :]
+        # h-side kernel slices (cast like nn.Dense(dtype=...) would)
+        ki = self.W_i.variables['params']['kernel'][in_dim:]
+        ko = self.W_o.variables['params']['kernel'][in_dim:]
+        ku = self.W.variables['params']['kernel'][in_dim:]
+        kf = self.W_f.variables['params']['kernel'][in_dim:]
+        if self.dtype is not None:
+            ki, ko, ku, kf = (k.astype(self.dtype) for k in (ki, ko, ku, kf))
 
         def body(_, state):
-            nei = tuple(gather_nd(s, bgraph) for s in state)
-            new = self.cell(fmess, nei)
-            return tuple(zero_row0(s) for s in new)
+            h, c = state
+            h_sum = nei_sum(h, bgraph)
+            i = jax.nn.sigmoid(xi + h_sum @ ki)
+            o = jax.nn.sigmoid(xo + h_sum @ ko)
+            u = jnp.tanh(xu + h_sum @ ku)
+            f = jax.nn.sigmoid(xf + gather_nd(h @ kf, bgraph))
+            c_new = i * u + (f * gather_nd(c, bgraph)).sum(axis=-2)
+            h_new = o * jnp.tanh(c_new)
+            return (zero_row0(h_new), zero_row0(c_new))
 
-        return _unrolled(body, self.depth, state)
+        return _unrolled(body, self.depth, (h0, h0))
 
 
 def _unrolled(body, depth: int, state):
@@ -133,9 +191,12 @@ def _unrolled(body, depth: int, state):
     return jax.lax.fori_loop(0, depth, body, state)
 
 
-def make_cell(rnn_type: str, hidden_size: int, depth: int, name=None):
+def make_cell(rnn_type: str, hidden_size: int, depth: int, name=None,
+              dtype=None):
     if rnn_type == 'GRU':
-        return MPNGRUCell(hidden_size=hidden_size, depth=depth, name=name)
+        return MPNGRUCell(hidden_size=hidden_size, depth=depth, name=name,
+                          dtype=dtype)
     if rnn_type == 'LSTM':
-        return MPNLSTMCell(hidden_size=hidden_size, depth=depth, name=name)
+        return MPNLSTMCell(hidden_size=hidden_size, depth=depth, name=name,
+                          dtype=dtype)
     raise ValueError(f'unsupported rnn cell type {rnn_type}')

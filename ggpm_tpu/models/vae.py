@@ -22,6 +22,13 @@ from .encoder import HierMPNEncoder, MotifEncoder
 from .heads import LossWeigh, PropertyOptimizer
 
 
+def _dtype(cfg):
+    """Resolve the config's compute precision (encoder depth loop; losses
+    and heads stay f32)."""
+    name = getattr(cfg, 'compute_dtype', 'float32')
+    return jnp.bfloat16 if name in ('bfloat16', 'bf16') else None
+
+
 class ModelConfig:
     """Attribute bag mirroring the reference Configs fields the models read."""
 
@@ -31,7 +38,8 @@ class ModelConfig:
                  depthT: int = 20, depthG: int = 20, diterT: int = 1, diterG: int = 5,
                  dropout: float = 0.0, tie_embedding: bool = True,
                  loss_scaling: bool = False, remat: bool = False,
-                 use_attention: bool = False):
+                 use_attention: bool = False,
+                 compute_dtype: str = 'float32'):
         self.hvocab_size = hvocab_size
         self.ivocab_size = ivocab_size
         self.atom_vocab_size = atom_vocab_size
@@ -49,6 +57,7 @@ class ModelConfig:
         self.loss_scaling = loss_scaling
         self.remat = remat
         self.use_attention = use_attention
+        self.compute_dtype = compute_dtype
 
     @classmethod
     def from_configs(cls, configs, vocab):
@@ -69,6 +78,7 @@ class ModelConfig:
             loss_scaling=getattr(configs, 'loss_scaling', False),
             remat=getattr(configs, 'remat', False),
             use_attention=getattr(configs, 'use_attention', False),
+            compute_dtype=getattr(configs, 'compute_dtype', 'float32'),
         )
 
 
@@ -95,7 +105,8 @@ class PropertyVAE(nn.Module):
             hvocab_size=c.hvocab_size, ivocab_size=c.ivocab_size,
             atom_vocab_size=c.atom_vocab_size, rnn_type=c.rnn_type,
             embed_size=c.embed_size, hidden_size=c.hidden_size,
-            depthT=c.depthT, dropout=c.dropout, E_c=ec, E_i=ei)
+            depthT=c.depthT, dropout=c.dropout,
+            compute_dtype=_dtype(c), E_c=ec, E_i=ei)
         self.R_mean = nn.Dense(c.latent_size)
         self.R_var = nn.Dense(c.latent_size)
 
@@ -235,7 +246,8 @@ class HierPropertyVAE(nn.Module):
             hvocab_size=c.hvocab_size, ivocab_size=c.ivocab_size,
             atom_vocab_size=c.atom_vocab_size, rnn_type=c.rnn_type,
             embed_size=c.embed_size, hidden_size=c.hidden_size,
-            depthT=c.depthT, depthG=c.depthG, dropout=c.dropout, E_c=ec, E_i=ei)
+            depthT=c.depthT, depthG=c.depthG, dropout=c.dropout,
+            compute_dtype=_dtype(c), E_c=ec, E_i=ei)
         self.decoder = HierDecoder(
             hvocab_size=c.hvocab_size, ivocab_size=c.ivocab_size,
             atom_vocab_size=c.atom_vocab_size, rnn_type=c.rnn_type,

@@ -61,6 +61,22 @@ def optax_global_norm(tree) -> jnp.ndarray:
     return jnp.sqrt(sum(jnp.sum(x * x) for x in jax.tree.leaves(tree)))
 
 
+def init_params_on_cpu(model, batch: Dict, rng, beta: float = 0.1,
+                       perturb_z: bool = True):
+    """Initialize flax params under jit.
+
+    Calling ``model.init`` EAGERLY makes the decoder's lax.scan closure
+    capture the concrete vocab mask as a trace-time constant, and
+    tracing/lowering advanced indexing on large constants takes minutes
+    (same pathology as MotifDecodeKernel's captured mask — measured 320s vs
+    0.1s).  Under jit every input is a tracer: the trace is fast and the
+    compile is an ordinary forward-sized compile (~15s)."""
+    init_fn = jax.jit(lambda rngs, b, r: model.init(rngs, b, beta, r,
+                                                    perturb_z, False))
+    batch = jax.tree.map(jnp.asarray, batch)
+    return init_fn({'params': rng, 'dropout': rng}, batch, rng)
+
+
 def make_eval_step(model, beta: float = 0.1) -> Callable:
     @jax.jit
     def step(params, batch, rng):
@@ -141,11 +157,11 @@ class Trainer:
         self.mols_seen = 0
 
     def init(self, sample_batch) -> Tuple[Any, Any]:
-        batch = self._device_batch(sample_batch)
         self.rng, init_rng = jax.random.split(self.rng)
-        params = self.model.init(
-            {'params': init_rng, 'dropout': init_rng}, batch, self.beta,
-            init_rng, True, False)
+        params = init_params_on_cpu(
+            self.model, sample_batch if isinstance(sample_batch, dict)
+            else to_model_batch(sample_batch, self.vocab_mask, pad=False),
+            init_rng, self.beta)
         opt_state = self.optimizer.init(params)
         return params, opt_state
 

@@ -60,8 +60,8 @@ def main():
     mb0 = tensorize(data[:bs], vocab, common_atom_vocab)
     batch0 = jax.tree.map(jnp.asarray, to_model_batch(mb0, vocab.mask, pad=False))
     rng = jax.random.PRNGKey(0)
-    params = model.init({'params': rng, 'dropout': rng}, batch0, 0.1, rng,
-                        True, True)
+    from ggpm_tpu.train.loop import init_params_on_cpu
+    params = init_params_on_cpu(model, batch0, rng, 0.1)
     params = ckpt.load_params(params, args.ckpt)
 
     opt = LatentOptimizer(model, params, optimize_type=args.policy,

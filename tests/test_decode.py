@@ -154,3 +154,22 @@ def test_decode_deterministic(tiny_model_setup):
                          common_atom_vocab, z, greedy=True,
                          max_decode_step=30, log_steps=False)
     assert s1 == s2
+
+
+def test_decode_kernel_cached_across_calls(tiny_model_setup):
+    """Repeated decode calls with the same (model, params, vocab) reuse one
+    kernel object — fresh jit closures per call would recompile every step
+    function on every call."""
+    from ggpm_tpu.models import decode as dec_mod
+    st = tiny_model_setup
+    z = np.zeros((2, st['cfg'].latent_size), dtype=np.float32)
+    decode_motif(st['model'], st['params'], st['vocab'],
+                 common_atom_vocab, z, greedy=True,
+                 max_decode_step=5, log_steps=False)
+    assert any(k[0] is dec_mod.MotifDecodeKernel
+               for k in dec_mod._KERNEL_CACHE)
+    size = len(dec_mod._KERNEL_CACHE)
+    decode_motif(st['model'], st['params'], st['vocab'],
+                 common_atom_vocab, z, greedy=True,
+                 max_decode_step=5, log_steps=False)
+    assert len(dec_mod._KERNEL_CACHE) == size

@@ -131,10 +131,12 @@ def test_scan_matches_naive_reference_semantics(setup):
     from ggpm_tpu.models import decoder as dec_mod
     orig_losses = dec_mod.MotifDecoder._losses
 
-    def capture(self, plan, rv, iv, vm, topo_vecs, cls_vecs, bs, det):
+    def capture(self, plan, rv, iv, vm, topo_vecs, cls_vecs, bs, det,
+                **kwargs):
         captured['topo'] = topo_vecs
         captured['cls'] = cls_vecs
-        return orig_losses(self, plan, rv, iv, vm, topo_vecs, cls_vecs, bs, det)
+        return orig_losses(self, plan, rv, iv, vm, topo_vecs, cls_vecs, bs,
+                           det, **kwargs)
 
     dec_mod.MotifDecoder._losses = capture
     try:
