@@ -1,0 +1,149 @@
+"""Training-regime benchmark: throughput + MFU across batch size, model
+size, and compute precision.
+
+Round-1's 18k mols/sec headline was measured at the reference's batch 20 —
+a dispatch-latency-bound regime that says nothing about TPU utilisation
+(hidden 700 ran as fast as hidden 250).  This script measures the scaled
+regime: canonical (hidden 250) and MotifG2G_Large (hidden 700, latent 48,
+thesis §4.2.1) at batch 20 and large batch, in f32 and bf16, reporting
+
+* steady-state training molecules/sec,
+* analytic FLOPs per step from XLA's cost model
+  (``jit(step).lower(...).compile().cost_analysis()``),
+* MFU against the v5e single-chip bf16 peak (197 TFLOP/s; f32 matmuls run
+  on the MXU via multi-pass bf16, so the same denominator applies and f32
+  rows simply show the pass overhead).
+
+Writes runs/MFU.json and prints a table.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+V5E_PEAK_FLOPS = 197e12  # bf16, one chip
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--data', default='/root/reference/data/hopv15/hopv15.csv')
+    ap.add_argument('--seconds', type=float, default=10.0)
+    ap.add_argument('--out', default='runs/MFU.json')
+    ap.add_argument('--quick', action='store_true',
+                    help='canonical f32 b20 only (smoke test)')
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from collections import Counter
+    from ggpm_tpu.cli.common import read_csv_data
+    from ggpm_tpu.data.batching import pad_batch
+    from ggpm_tpu.data.vocab_extract import build_vocab
+    from ggpm_tpu.graph.mol_graph import tensorize
+    from ggpm_tpu.graph.vocab import PairVocab, common_atom_vocab
+    from ggpm_tpu.models.vae import ModelConfig, PropertyVAE
+    from ggpm_tpu.train.loop import Trainer
+    from ggpm_tpu.train.optim import make_optimizer
+
+    data = read_csv_data(args.data)
+    vocab_rows, _ = build_vocab([r[0] for r in data], 20, ncpu=8)
+    vocab = PairVocab([(x, y) for x, y, _ in vocab_rows])
+
+    def make_batches(bs):
+        out = []
+        for i in range(0, len(data) - bs + 1, bs):
+            try:
+                out.append(pad_batch(tensorize(data[i:i + bs], vocab,
+                                               common_atom_vocab)))
+            except Exception:
+                pass
+        sig = lambda mb: (mb.tree.fnode.shape, mb.tree.fmess.shape,
+                          mb.tree.agraph.shape[1], mb.plan.active.shape)
+        common, _ = Counter(sig(mb) for mb in out).most_common(1)[0]
+        return [mb for mb in out if sig(mb) == common]
+
+    combos = [('canonical', 250, 24, 'float32', 20)]
+    if not args.quick:
+        combos += [
+            ('canonical', 250, 24, 'float32', 240),
+            ('canonical', 250, 24, 'bfloat16', 240),
+            ('large', 700, 48, 'float32', 20),
+            ('large', 700, 48, 'float32', 240),
+            ('large', 700, 48, 'bfloat16', 240),
+        ]
+
+    batch_cache = {}
+    rows = []
+    for name, hidden, latent, dtype, bs in combos:
+        if bs not in batch_cache:
+            batch_cache[bs] = make_batches(bs)
+        batches = batch_cache[bs]
+        if not batches:
+            print(f'{name} b{bs}: no batches, skipped')
+            continue
+        cfg = ModelConfig(hvocab_size=vocab.size()[0],
+                          ivocab_size=vocab.size()[1], rnn_type='LSTM',
+                          hidden_size=hidden, embed_size=hidden,
+                          latent_size=latent, depthT=20, diterT=1,
+                          dropout=0.0, compute_dtype=dtype)
+        model = PropertyVAE(cfg=cfg)
+        opt = make_optimizer(lr=1e-3, clip_norm=20.0, anneal_rate=0.9,
+                             steps_per_epoch=max(len(batches), 1))
+        trainer = Trainer(model, opt, vocab.mask, beta=0.1,
+                          print_iter=10 ** 9)
+        params, opt_state = trainer.init(batches[0])
+        dev = [trainer._device_batch(mb) for mb in batches]
+
+        # analytic FLOPs of the compiled step
+        flops = None
+        try:
+            rng = jax.random.PRNGKey(0)
+            lowered = trainer.step_fn.lower(params, opt_state, dev[0], rng)
+            ca = lowered.compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get('flops', 0.0))
+        except Exception as e:
+            print('cost_analysis unavailable:', e)
+
+        for _ in range(2):
+            for db in dev:
+                trainer.rng, r = jax.random.split(trainer.rng)
+                params, opt_state, _, _ = trainer.step_fn(params, opt_state,
+                                                          db, r)
+            jax.block_until_ready(params)
+
+        n_steps = 0
+        t0 = time.time()
+        while time.time() - t0 < args.seconds:
+            for db in dev:
+                trainer.rng, r = jax.random.split(trainer.rng)
+                params, opt_state, _, _ = trainer.step_fn(params, opt_state,
+                                                          db, r)
+                n_steps += 1
+            jax.block_until_ready(params)
+        dt = time.time() - t0
+        steps_sec = n_steps / dt
+        mols_sec = steps_sec * bs
+        mfu = (flops * steps_sec / V5E_PEAK_FLOPS) if flops else None
+        row = {'config': name, 'hidden': hidden, 'dtype': dtype, 'batch': bs,
+               'steps_per_sec': round(steps_sec, 2),
+               'mols_per_sec': round(mols_sec, 1),
+               'flops_per_step': flops,
+               'mfu': round(mfu, 4) if mfu is not None else None}
+        rows.append(row)
+        print(row, flush=True)
+
+    os.makedirs(os.path.dirname(args.out) or '.', exist_ok=True)
+    with open(args.out, 'w') as f:
+        json.dump({'peak_flops': V5E_PEAK_FLOPS, 'rows': rows}, f, indent=2)
+    print(f'wrote {args.out}')
+
+
+if __name__ == '__main__':
+    main()

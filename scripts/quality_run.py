@@ -28,6 +28,15 @@ def main():
     ap.add_argument('--limit', type=int, default=0)
     ap.add_argument('--model', default='prop-opt',
                     choices=['prop-opt', 'prop', 'hier-prop', 'hier-prop-opt'])
+    ap.add_argument('--holdout', type=int, default=0,
+                    help='hold out N molecules from training and evaluate '
+                         'reconstruction/property MAE on them (test-split '
+                         'protocol; default 0 = evaluate on training mols '
+                         'as in round-1 artifacts)')
+    ap.add_argument('--dump-recon', default=None,
+                    help='write original,reconstructed,org_homo,org_lumo,'
+                         'homo,lumo CSV (reference reconstruct.py:78-97 '
+                         'format) for the parity harness')
     args = ap.parse_args()
 
     import jax
@@ -62,6 +71,17 @@ def main():
     print(f'vocab {vocab.size()}', flush=True)
 
     data = prune_to_vocab(data, vocab)
+    if args.holdout > 0:
+        # deterministic split: vocab comes from the full set (the reference
+        # extracts its motif vocab from all data too), training never sees
+        # the held-out molecules
+        import random as _random
+        _random.Random(1).shuffle(data)
+        holdout, data = data[:args.holdout], data[args.holdout:]
+        print(f'held out {len(holdout)} molecules; training on {len(data)}',
+              flush=True)
+    else:
+        holdout = None
     batch_size = args.batch_size
     batches = []
     for i in range(0, len(data) - batch_size + 1, batch_size):
@@ -102,9 +122,10 @@ def main():
     print('final train metrics:', {k: round(v, 3) for k, v in ev.items()}, flush=True)
 
     # ---- reconstruction + property prediction on the eval subset ----------
-    test = data[:args.n_test]
-    recon_pairs = []
-    homo_err, lumo_err = [], []
+    # encode in training-size chunks; decode in LARGE batches — each decode
+    # step costs one tunnel round-trip regardless of batch size
+    test = holdout if holdout is not None else data[:args.n_test]
+    kept, zs, hps, lps = [], [], [], []
     for i in range(0, len(test) - batch_size + 1, batch_size):
         chunk = test[i:i + batch_size]
         mb = tensorize(chunk, vocab, common_atom_vocab)
@@ -122,16 +143,37 @@ def main():
             hp, lp = np.asarray(hp), np.asarray(lp)
         else:
             hp = lp = np.full(len(chunk), np.nan)
-        for (s, h, l), hh, ll in zip(chunk, hp, lp):
-            if h is not None and np.isfinite(hh):
-                homo_err.append(abs(hh - h))
-            if l is not None and np.isfinite(ll):
-                lumo_err.append(abs(ll - l))
+        kept += chunk
+        zs.append(np.asarray(z))
+        hps.append(hp)
+        lps.append(lp)
+    zs = np.concatenate(zs) if zs else np.zeros((0, args.latent))
+    hps = np.concatenate(hps) if hps else np.zeros(0)
+    lps = np.concatenate(lps) if lps else np.zeros(0)
+
+    homo_err = [abs(hh - h) for (s, h, l), hh in zip(kept, hps)
+                if h is not None and np.isfinite(hh)]
+    lumo_err = [abs(ll - l) for (s, h, l), ll in zip(kept, lps)
+                if l is not None and np.isfinite(ll)]
+
+    recon_pairs = []
+    recon_rows = []
+    t_dec = time.time()
+    dec_bs = min(120, max(len(kept), 1))
+    for i in range(0, len(kept), dec_bs):
+        chunk = kept[i:i + dec_bs]
         _, smiles = decode_fn(model, params, vocab, common_atom_vocab,
-                              np.asarray(z), greedy=True,
+                              zs[i:i + dec_bs], greedy=True,
                               max_decode_step=150, log_steps=False)
         recon_pairs += list(zip([c[0] for c in chunk], smiles))
-        print(f'decoded {len(recon_pairs)} molecules', flush=True)
+        for (s, h, l), dec, hh, ll in zip(chunk, smiles, hps[i:i + dec_bs],
+                                          lps[i:i + dec_bs]):
+            recon_rows.append((s, dec or '', h, l,
+                               float(hh) if np.isfinite(hh) else '',
+                               float(ll) if np.isfinite(ll) else ''))
+        print(f'decoded {len(recon_pairs)} molecules '
+              f'({time.time()-t_dec:.0f}s)', flush=True)
+    decode_seconds = time.time() - t_dec
 
     gen = [d for _, d in recon_pairs]
     ref = [o for o, _ in recon_pairs]
@@ -157,9 +199,22 @@ def main():
     qual['LUMO_MAE'] = float(np.mean(lumo_err)) if lumo_err else None
     qual['train_metrics'] = {k: round(float(v), 4) for k, v in ev.items()}
     qual['wall_seconds'] = round(time.time() - t_start, 1)
+    qual['decode_seconds'] = round(decode_seconds, 1)
+    qual['decode_mols_per_sec'] = round(len(recon_pairs) /
+                                        max(decode_seconds, 1e-9), 2)
+    qual['eval_split'] = 'holdout' if holdout is not None else 'train'
     print(json.dumps(qual, indent=2, default=float), flush=True)
     with open(args.out, 'w') as f:
         json.dump(qual, f, indent=2, default=float)
+
+    if args.dump_recon:
+        import csv as _csv
+        with open(args.dump_recon, 'w', newline='') as f:
+            w = _csv.writer(f)
+            w.writerow(['original', 'reconstructed', 'org_homo', 'org_lumo',
+                        'homo', 'lumo'])
+            w.writerows(recon_rows)
+        print(f'wrote {args.dump_recon}', flush=True)
 
     # persist the trained model for downstream CLIs (reconstruct/optimize)
     from ggpm_tpu.train import checkpoint as ckpt_mod
