@@ -96,8 +96,7 @@ def main():
     # warmup through compilation until the step time stabilises
     for _ in range(2):
         for db in dev_batches:
-            trainer.rng, r = jax.random.split(trainer.rng)
-            params, opt_state, _, _ = trainer.step_fn(params, opt_state, db, r)
+            params, opt_state, _, _ = trainer.train_step(params, opt_state, db)
         jax.block_until_ready(params)
 
     _progress('timed train loop')
@@ -106,9 +105,8 @@ def main():
     t0 = time.time()
     while time.time() - t0 < 15.0:
         for db in dev_batches:
-            trainer.rng, r = jax.random.split(trainer.rng)
-            params, opt_state, metrics, _ = trainer.step_fn(
-                params, opt_state, db, r)
+            params, opt_state, metrics, _ = trainer.train_step(
+                params, opt_state, db)
             n_mols += batch_size
         jax.block_until_ready(params)
     elapsed = time.time() - t0

@@ -44,15 +44,19 @@ def make_train_step(model, optimizer, beta: float = 0.1,
             rngs={'dropout': jax.random.fold_in(rng, 1)})
         return loss, (metrics, aux)
 
-    @partial(jax.jit, donate_argnums=(0, 1))
+    @partial(jax.jit, donate_argnums=(0, 1, 3))
     def step(params, opt_state, batch, rng, step_idx=0):
+        # the PRNG key is threaded THROUGH the step (split on device,
+        # next key returned) — a host-side jax.random.split per step costs
+        # an extra dispatch + two tiny buffer round-trips on the TPU relay
+        step_rng, next_rng = jax.random.split(rng)
         (loss, (metrics, aux)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, batch, rng, step_idx)
+            loss_fn, has_aux=True)(params, batch, step_rng, step_idx)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
         gnorm = optax_global_norm(grads)
         metrics = dict(metrics, GNorm=gnorm)
-        return params, opt_state, metrics, aux
+        return params, opt_state, metrics, aux, next_rng
 
     return step
 
@@ -165,6 +169,16 @@ class Trainer:
         opt_state = self.optimizer.init(params)
         return params, opt_state
 
+    def train_step(self, params, opt_state, batch, step_idx=None):
+        """One optimizer step with the PRNG key threaded on device (see
+        make_train_step).  ``self.rng`` stays a device key throughout — no
+        per-step host split."""
+        idx = jnp.asarray(self.total_step if step_idx is None else step_idx,
+                          dtype=jnp.float32)
+        params, opt_state, metrics, aux, self.rng = self.step_fn(
+            params, opt_state, batch, self.rng, idx)
+        return params, opt_state, metrics, aux
+
     def _device_batch(self, mb) -> Dict:
         if not isinstance(mb, dict):
             mb = to_model_batch(mb, self.vocab_mask, pad=False)
@@ -184,10 +198,8 @@ class Trainer:
         mols0 = self.mols_seen
         clipped_flags = []  # device scalars; materialised at print boundaries
         for batch in prefetch_batches(data, self._device_batch):
-            self.rng, step_rng = jax.random.split(self.rng)
-            params, opt_state, metrics, aux = self.step_fn(
-                params, opt_state, batch, step_rng,
-                jnp.asarray(self.total_step, dtype=jnp.float32))
+            params, opt_state, metrics, aux = self.train_step(
+                params, opt_state, batch)
             self.total_step += 1
             self.mols_seen += len(batch['plan']['root_clab'])
             acc.add(metrics)

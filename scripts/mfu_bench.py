@@ -113,18 +113,16 @@ def main():
 
         for _ in range(2):
             for db in dev:
-                trainer.rng, r = jax.random.split(trainer.rng)
-                params, opt_state, _, _ = trainer.step_fn(params, opt_state,
-                                                          db, r)
+                params, opt_state, _, _ = trainer.train_step(params,
+                                                             opt_state, db)
             jax.block_until_ready(params)
 
         n_steps = 0
         t0 = time.time()
         while time.time() - t0 < args.seconds:
             for db in dev:
-                trainer.rng, r = jax.random.split(trainer.rng)
-                params, opt_state, _, _ = trainer.step_fn(params, opt_state,
-                                                          db, r)
+                params, opt_state, _, _ = trainer.train_step(params,
+                                                             opt_state, db)
                 n_steps += 1
             jax.block_until_ready(params)
         dt = time.time() - t0

@@ -110,9 +110,8 @@ def main():
     t0 = time.time()
     for epoch in range(args.epochs + args.ft_epochs):
         for db in dev_batches:
-            trainer.rng, r = jax.random.split(trainer.rng)
-            params, opt_state, metrics, _ = trainer.step_fn(
-                params, opt_state, db, r)
+            params, opt_state, metrics, _ = trainer.train_step(
+                params, opt_state, db)
         if epoch % 50 == 0:
             m = {k: round(float(v), 3) for k, v in metrics.items()}
             print(f'epoch {epoch}: {m}', flush=True)
