@@ -8,7 +8,7 @@ learned compute path lives in ``ggpm_tpu.models`` as JAX/Pallas code.
 """
 
 from .api import (atom_equal, bond_match, canon_smiles, copy_atom,
-                  copy_edit_mol, get_clique_mol, get_mol, get_mol_shared, get_smiles,
+                  copy_edit_mol, get_clique_mol, get_mol, get_mol_shared, get_smiles, valid_fast,
                   get_smiles_aromatic, get_sub_mol, sanitize,
                   sanitize_in_place)
 from .brics import brics_decompose, brics_fragments, find_brics_bonds
@@ -22,7 +22,7 @@ from .write import mol_to_smiles
 __all__ = [
     'Atom', 'Bond', 'Mol', 'SINGLE', 'DOUBLE', 'TRIPLE', 'AROMATIC',
     'BOND_TYPES', 'mol_from_smiles', 'mol_to_smiles', 'canonical_ranks',
-    'get_mol', 'get_mol_shared', 'get_smiles', 'get_smiles_aromatic', 'canon_smiles',
+    'get_mol', 'get_mol_shared', 'get_smiles', 'valid_fast', 'get_smiles_aromatic', 'canon_smiles',
     'sanitize', 'sanitize_in_place', 'get_sub_mol', 'get_clique_mol',
     'copy_edit_mol', 'copy_atom', 'atom_equal', 'bond_match',
     'morgan_bits', 'tanimoto', 'tanimoto_smiles',

@@ -138,11 +138,20 @@ def kekulize(mol: Mol) -> bool:
     valid assignment exists (the reference treats that as an unparseable
     molecule, chemutils.py:28-34).
     """
+    # Re-sanitize support: when any aromatic-FLAGGED bond already carries a
+    # concrete double order, the input is a previously-kekulized molecule
+    # whose flags were set by perceive_aromaticity (a fresh aromatic-SMILES
+    # parse has all flagged bonds at order 1, and kekulé-written input has
+    # no flags).  In that state implicit hydrogens are derivable from the
+    # concrete valence, which _needs_pi_bond must use — e.g. a kekulé
+    # pyrrole N (no double bond, one implicit H) needs no π bond, while in
+    # a fresh aromatic parse an H-less N defaults to pyridine-type.
+    pre_kekulized = any(b.aromatic and b.order == DOUBLE for b in mol.bonds)
     needs = set()
     for idx, a in enumerate(mol.atoms):
         if not a.aromatic:
             continue
-        if _needs_pi_bond(mol, idx):
+        if _needs_pi_bond(mol, idx, assume_kekulized=pre_kekulized):
             needs.add(idx)
     arom_bonds = [i for i, b in enumerate(mol.bonds) if b.aromatic]
     if not needs:
@@ -168,7 +177,7 @@ def kekulize(mol: Mol) -> bool:
     return True
 
 
-def _needs_pi_bond(mol: Mol, idx: int) -> bool:
+def _needs_pi_bond(mol: Mol, idx: int, assume_kekulized: bool = False) -> bool:
     a = mol.atoms[idx]
     sym, chg = a.symbol, a.charge
     deg = mol.degree(idx)
@@ -186,7 +195,11 @@ def _needs_pi_bond(mol: Mol, idx: int) -> bool:
         if chg == 1:
             return deg <= 2 if a.explicit_h in (None, 0) else (deg + (a.explicit_h or 0)) <= 3
         # neutral: pyrrole type (H present or 3 sigma bonds) has no π bond
-        if (a.explicit_h or 0) > 0:
+        n_h = a.explicit_h or 0
+        if n_h == 0 and assume_kekulized and a.explicit_h is None:
+            # concrete orders: the implicit H count is valence-derived
+            n_h = mol.total_h(idx)
+        if n_h > 0:
             return False
         if deg >= 3:
             return False

@@ -16,7 +16,7 @@ import numpy as np
 
 from ..chem import Atom, Mol, atom_equal, bond_match, copy_atom, get_mol, \
     get_mol_shared, \
-    get_smiles_aromatic, get_sub_mol, sanitize_in_place
+    get_smiles_aromatic, get_sub_mol, sanitize_in_place, valid_fast
 from ..graph.chemutils import get_anchor_smiles
 
 
@@ -236,7 +236,7 @@ class IncGraph(IncBase):
                 return False
             if tmp.bond_between(a1, a2) is None:
                 tmp.add_bond(a1, a2, b.order, b.aromatic)
-        return sanitize_in_place(tmp)
+        return valid_fast(tmp)
 
     def get_assm_cands(self, cluster, used, ismiles: str):
         """Enumerate attachment sites on the frontier cluster for a predicted

@@ -244,3 +244,21 @@ def test_brics_consistency_over_dataset(golden_smiles):
         assert len(frags) >= 1
         for f in frags:
             assert get_mol(f) is not None, f'{f} from {s} does not reparse'
+
+
+def test_sanitize_idempotent():
+    """Re-sanitizing an already-sanitized molecule must succeed (kekulize
+    once mis-read kekulé pyrrole-type N as pyridine-type on the second
+    pass because perceived aromatic flags changed the H inference)."""
+    import copy
+
+    from ggpm_tpu.chem import get_mol, sanitize_in_place
+
+    for s in ['C1=CC=CN1', 'c1cc[nH]c1', 'c1ccncc1', 'c1ccc2[nH]ccc2c1',
+              'c1ccsc1', 'c1ccoc1', 'O=C1C=CC(=O)c2ccccc21']:
+        mol = get_mol(s)
+        assert mol is not None, s
+        for _ in range(3):
+            assert sanitize_in_place(mol), s
+            m2 = copy.deepcopy(mol)
+            assert sanitize_in_place(m2), s

@@ -67,3 +67,56 @@ def test_dataset_agreement_rate():
         agree += (p == n)
     assert total > 0
     assert agree / total >= 0.99
+
+
+def test_valid_fast_matches_python_sanitize():
+    """valid_fast (serialize → native parse+sanitize) must agree with the
+    Python sanitize on decode-style merged fragments: valid molecules,
+    over-valent corruptions, and raw sub-fragments."""
+    import copy
+
+    from ggpm_tpu.chem import get_mol, get_sub_mol, sanitize_in_place, \
+        valid_fast
+    from ggpm_tpu.chem.mol import Mol
+
+    smiles = [l.split(',')[0].strip('"').strip()
+              for l in open('/root/reference/data/chem_data/train.csv')
+              .read().splitlines()[1:] if l.strip()][:30]
+    checked = 0
+    for s in smiles:
+        mol = get_mol(s)
+        if mol is None:
+            continue
+        cases = [mol]
+        # induced fragment with cleared flags — matches the decode merge
+        # state: try_add_mol's tmp only ever contains atoms added through
+        # copy_atom (aromatic=False), so stale atom flags cannot occur
+        # (serialization drops flags, so flag-inconsistent inputs are the
+        # one place the two paths may differ — see get_clique_mol)
+        if mol.num_atoms >= 6:
+            frag = get_sub_mol(mol, range(mol.num_atoms // 2))
+            for a in frag.atoms:
+                a.aromatic = False
+            cases.append(frag)
+        # over-valent corruption: bump a bond order (as a plain aliphatic
+        # bond — decode merges only ever add kekulized, flag-consistent
+        # bonds, so an aromatic-flagged bond with a wrong order cannot
+        # occur and would serialize by flag)
+        bad = copy.deepcopy(mol)
+        if bad.num_bonds >= 2:
+            for a in bad.atoms:
+                a.aromatic = False
+            # make one atom unambiguously over-valent: two triple bonds
+            a0 = bad.bonds[0].a1
+            bad.bonds[0].order = 3
+            bad.bonds[0].aromatic = False
+            for b in bad.bonds_of(a0):
+                b.order = 3
+                b.aromatic = False
+            cases.append(bad)
+        for m in cases:
+            py = sanitize_in_place(copy.deepcopy(m))
+            fast = valid_fast(copy.deepcopy(m))
+            assert py == fast, f'{s}: python={py} native={fast}'
+            checked += 1
+    assert checked >= 60
