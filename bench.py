@@ -71,12 +71,15 @@ def main():
                           'unit': 'mols/sec', 'vs_baseline': 0.0}))
         return
 
-    # keep a single dominant bucket signature to avoid recompiles mid-bench
+    # keep a single dominant bucket signature: one compile, and the whole
+    # epoch stacks into a single lax.scan device call (see below)
     from collections import Counter
-    sig = lambda mb: (mb.tree.fnode.shape, mb.tree.fmess.shape,
-                      mb.tree.agraph.shape[1], mb.plan.active.shape)
-    common_sig, _ = Counter(sig(mb) for mb in batches).most_common(1)[0]
-    bench_batches = [mb for mb in batches if sig(mb) == common_sig]
+    import jax.numpy as jnp
+
+    def full_sig(mb):
+        return tuple(getattr(l, 'shape', ()) for l in jax.tree.leaves(mb))
+    common_sig, _ = Counter(full_sig(mb) for mb in batches).most_common(1)[0]
+    bench_batches = [mb for mb in batches if full_sig(mb) == common_sig]
 
     cfg = ModelConfig(hvocab_size=vocab.size()[0], ivocab_size=vocab.size()[1],
                       rnn_type='LSTM', hidden_size=250, embed_size=250,
@@ -88,15 +91,20 @@ def main():
     _progress('initializing model')
     params, opt_state = trainer.init(bench_batches[0])
 
-    # pre-upload batches (training streams batches through a double-buffered
-    # host pipeline; the steady-state step itself is what we measure)
+    # pre-upload batches and stack the whole epoch into ONE device call:
+    # a lax.scan over the stacked batches runs K optimizer steps per
+    # dispatch (bit-identical to K sequential steps — tests/test_train.py),
+    # so the measured rate is compute-bound, not dispatch-latency-bound,
+    # and the relay sees K× fewer messages
+    from ggpm_tpu.train.loop import stack_batches
     dev_batches = [trainer._device_batch(mb) for mb in bench_batches]
+    stacked = stack_batches(dev_batches)
+    k_steps = len(dev_batches)
 
     _progress('warmup / compile')
-    # warmup through compilation until the step time stabilises
     for _ in range(2):
-        for db in dev_batches:
-            params, opt_state, _, _ = trainer.train_step(params, opt_state, db)
+        params, opt_state, _, _ = trainer.scan_steps(params, opt_state,
+                                                     stacked)
         jax.block_until_ready(params)
 
     _progress('timed train loop')
@@ -104,10 +112,9 @@ def main():
     n_mols = 0
     t0 = time.time()
     while time.time() - t0 < 15.0:
-        for db in dev_batches:
-            params, opt_state, metrics, _ = trainer.train_step(
-                params, opt_state, db)
-            n_mols += batch_size
+        params, opt_state, metrics, _ = trainer.scan_steps(params, opt_state,
+                                                           stacked)
+        n_mols += batch_size * k_steps
         jax.block_until_ready(params)
     elapsed = time.time() - t0
     mols_per_sec = n_mols / elapsed

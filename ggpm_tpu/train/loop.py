@@ -65,6 +65,58 @@ def optax_global_norm(tree) -> jnp.ndarray:
     return jnp.sqrt(sum(jnp.sum(x * x) for x in jax.tree.leaves(tree)))
 
 
+def make_scan_train_step(model, optimizer, beta: float = 0.1,
+                         perturb_z: bool = True,
+                         beta_warmup_steps: int = 0) -> Callable:
+    """K optimizer steps in ONE device call: ``lax.scan`` over a stacked
+    [K, ...] batch pytree, carrying (params, opt_state, rng).
+
+    Two wins over per-step dispatch on the single-chip TPU relay: the step
+    rate is no longer bound by per-dispatch round-trip latency, and the
+    relay message volume drops by K× (the relay's single multiplexed
+    stream degrades under high message rates).  The PRNG/update sequence
+    is IDENTICAL to K successive ``make_train_step`` calls (same split
+    chain), so results match the per-step path exactly.
+
+    Returns ``scan_step(params, opt_state, stacked_batch, rng, step0) →
+    (params, opt_state, stacked_metrics, stacked_aux, next_rng)``.
+    """
+
+    def loss_fn(params, batch, rng, step_idx):
+        if beta_warmup_steps > 0:
+            b = beta * jnp.minimum(step_idx / beta_warmup_steps, 1.0)
+        else:
+            b = beta
+        loss, metrics, aux = model.apply(
+            params, batch, b, rng, perturb_z, False,
+            rngs={'dropout': jax.random.fold_in(rng, 1)})
+        return loss, (metrics, aux)
+
+    @partial(jax.jit, donate_argnums=(0, 1, 3))
+    def scan_step(params, opt_state, stacked_batch, rng, step0=0.0):
+        def body(carry, batch):
+            params, opt_state, rng, i = carry
+            step_rng, next_rng = jax.random.split(rng)
+            (loss, (metrics, aux)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch, step_rng, step0 + i)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            metrics = dict(metrics, GNorm=optax_global_norm(grads))
+            return (params, opt_state, next_rng, i + 1.0), (metrics, aux)
+
+        (params, opt_state, rng, _), (metrics, aux) = jax.lax.scan(
+            body, (params, opt_state, rng, 0.0), stacked_batch)
+        return params, opt_state, metrics, aux, rng
+
+    return scan_step
+
+
+def stack_batches(device_batches):
+    """Stack same-signature device batches into one [K, ...] pytree for
+    make_scan_train_step."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *device_batches)
+
+
 def init_params_on_cpu(model, batch: Dict, rng, beta: float = 0.1,
                        perturb_z: bool = True):
     """Initialize flax params under jit.
@@ -153,6 +205,7 @@ class Trainer:
         self.save_iter = save_iter
         self.clip_break_count = clip_break_count
         self.rng = jax.random.PRNGKey(seed)
+        self.beta_warmup_steps = beta_warmup_steps
         self.step_fn = make_train_step(model, optimizer, beta,
                                        beta_warmup_steps=beta_warmup_steps)
         self.eval_fn = make_eval_step(model, beta)
@@ -177,6 +230,21 @@ class Trainer:
                           dtype=jnp.float32)
         params, opt_state, metrics, aux, self.rng = self.step_fn(
             params, opt_state, batch, self.rng, idx)
+        return params, opt_state, metrics, aux
+
+    def scan_steps(self, params, opt_state, stacked_batch):
+        """K optimizer steps in one device call over a stacked batch pytree
+        (see make_scan_train_step; build the stack with stack_batches).
+        Returns stacked per-step metrics/aux (device-resident)."""
+        if getattr(self, '_scan_fn', None) is None:
+            self._scan_fn = make_scan_train_step(
+                self.model, self.optimizer, self.beta,
+                beta_warmup_steps=self.beta_warmup_steps)
+        k = jax.tree.leaves(stacked_batch)[0].shape[0]
+        params, opt_state, metrics, aux, self.rng = self._scan_fn(
+            params, opt_state, stacked_batch, self.rng,
+            float(self.total_step))
+        self.total_step += k
         return params, opt_state, metrics, aux
 
     def _device_batch(self, mb) -> Dict:

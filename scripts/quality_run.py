@@ -107,13 +107,31 @@ def main():
     params, opt_state = trainer.init(batches[0])
     dev_batches = [trainer._device_batch(mb) for mb in batches]
 
+    # group same-shape batches and run each group's steps as ONE lax.scan
+    # device call per epoch (bit-identical to sequential steps; dispatch
+    # volume drops by the group size — kind to the flaky TPU relay)
+    from collections import defaultdict
+    from ggpm_tpu.train.loop import stack_batches
+    groups = defaultdict(list)
+    for db in dev_batches:
+        groups[tuple(getattr(l, 'shape', ()) for l in
+                     jax.tree.leaves(db))].append(db)
+    stacks = [db_list[0] if len(db_list) == 1 else stack_batches(db_list)
+              for db_list in groups.values()]
+    singles = [len(g) == 1 for g in groups.values()]
+
     t0 = time.time()
     for epoch in range(args.epochs + args.ft_epochs):
-        for db in dev_batches:
-            params, opt_state, metrics, _ = trainer.train_step(
-                params, opt_state, db)
+        for st_batch, single in zip(stacks, singles):
+            if single:
+                params, opt_state, metrics, _ = trainer.train_step(
+                    params, opt_state, st_batch)
+            else:
+                params, opt_state, metrics, _ = trainer.scan_steps(
+                    params, opt_state, st_batch)
         if epoch % 50 == 0:
-            m = {k: round(float(v), 3) for k, v in metrics.items()}
+            m = {k: round(float(np.asarray(v).reshape(-1)[-1]), 3)
+                 for k, v in metrics.items()}
             print(f'epoch {epoch}: {m}', flush=True)
     jax.block_until_ready(params)
     print(f'trained in {time.time()-t0:.0f}s', flush=True)

@@ -128,3 +128,43 @@ def test_throughput_meter():
     r = m.rates()
     assert r['mols_per_sec'] > 0 and r['steps_per_sec'] > 0
     assert param_norm({'w': jnp.ones(4)}) == 2.0
+
+
+def test_scan_steps_matches_sequential(tiny_model_setup):
+    """K steps under one lax.scan device call must reproduce K sequential
+    train_step calls bit-for-bit (same on-device PRNG split chain)."""
+    from collections import Counter
+
+    import jax
+    import jax.numpy as jnp
+
+    from ggpm_tpu.models.vae import PropertyVAE
+    from ggpm_tpu.train.loop import Trainer, stack_batches
+    from ggpm_tpu.train.optim import make_optimizer
+
+    st = tiny_model_setup
+    vocab = st['vocab']
+
+    def make():
+        model = PropertyVAE(cfg=st['cfg'])
+        opt = make_optimizer(lr=1e-3, steps_per_epoch=3)
+        tr = Trainer(model, opt, vocab.mask, beta=0.1, print_iter=10 ** 9,
+                     seed=11)
+        p, o = tr.init(st['batches'][0])
+        dev = [tr._device_batch(mb) for mb in st['batches']]
+        sig = lambda db: tuple(l.shape for l in jax.tree.leaves(db))
+        common, _ = Counter(sig(db) for db in dev).most_common(1)[0]
+        return tr, p, o, [db for db in dev if sig(db) == common]
+
+    tr1, p1, o1, dev1 = make()
+    assert len(dev1) >= 2
+    for db in dev1:
+        p1, o1, _, _ = tr1.train_step(p1, o1, db)
+
+    tr2, p2, o2, dev2 = make()
+    p2, o2, ms, _ = tr2.scan_steps(p2, o2, stack_batches(dev2))
+    assert ms['Loss'].shape[0] == len(dev2)
+    mx = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), p1, p2)))
+    assert mx < 1e-6
+    assert tr2.total_step == len(dev2)
