@@ -154,14 +154,19 @@ class MetricAccumulator:
         self.pending.append(metrics)
 
     def mean(self) -> Dict[str, float]:
+        """Per-step mean; entries may be single-step scalar trees or
+        [K]-stacked trees from a scanned multi-step call."""
         if not self.pending:
             return {}
         vals = jax.device_get(self.pending)
         out: Dict[str, float] = {}
+        counts: Dict[str, float] = {}
         for m in vals:
             for k, v in m.items():
-                out[k] = out.get(k, 0.0) + float(v)
-        return {k: v / len(vals) for k, v in out.items()}
+                a = np.asarray(v)
+                out[k] = out.get(k, 0.0) + float(a.sum())
+                counts[k] = counts.get(k, 0.0) + a.size
+        return {k: v / max(counts[k], 1.0) for k, v in out.items()}
 
     def reset(self) -> None:
         self.pending = []
@@ -260,30 +265,52 @@ class Trainer:
         return out
 
     def train_epoch(self, params, opt_state, data: Iterable,
-                    epoch: int = 0, log=print):
+                    epoch: int = 0, log=print, scan_chunk: int = 8):
+        """One epoch over streamed batches.
+
+        Same-shape batches are buffered per signature and executed
+        ``scan_chunk`` at a time as ONE lax.scan device call (bit-identical
+        to sequential steps; see make_scan_train_step) — the dominant
+        bucket runs with ~scan_chunk× fewer dispatches.  Oddly-shaped
+        stragglers fall back to single steps."""
+        from collections import defaultdict
+
         acc = MetricAccumulator()
         t0 = time.time()
         mols0 = self.mols_seen
-        clipped_flags = []  # device scalars; materialised at print boundaries
-        for batch in prefetch_batches(data, self._device_batch):
-            params, opt_state, metrics, aux = self.train_step(
-                params, opt_state, batch)
-            self.total_step += 1
-            self.mols_seen += len(batch['plan']['root_clab'])
+        clipped_flags = []  # device values; materialised at print boundaries
+        next_print = (self.total_step // self.print_iter + 1) * self.print_iter
+        next_save = None
+        if self.save_iter > 0:
+            next_save = (self.total_step // self.save_iter + 1) * self.save_iter
+        buckets = defaultdict(list)
+
+        def run(params, opt_state, db_list):
+            if len(db_list) == 1:
+                params, opt_state, metrics, aux = self.train_step(
+                    params, opt_state, db_list[0])
+                self.total_step += 1
+            else:
+                params, opt_state, metrics, aux = self.scan_steps(
+                    params, opt_state, stack_batches(db_list))
+            for db in db_list:
+                self.mols_seen += len(db['plan']['root_clab'])
             acc.add(metrics)
             clipped_flags.append(aux.get('clipped', False))
-            # the circuit breaker is evaluated at print boundaries to keep
-            # the dispatch pipeline free of per-step host syncs (reaction
-            # latency ≤ print_iter steps vs. the reference's per-batch check,
-            # vae_fine_tune.py:92-96)
-            if self.total_step % self.print_iter == 0:
-                self.n_clipped += int(sum(int(x) for x in
-                                          jax.device_get(clipped_flags)))
-                clipped_flags = []
+            return params, opt_state
+
+        def boundary(params, opt_state):
+            nonlocal next_print, next_save
+            if self.total_step >= next_print:
+                next_print = (self.total_step // self.print_iter + 1) \
+                    * self.print_iter
+                self.n_clipped += int(np.sum([np.sum(np.asarray(x)) for x in
+                                              jax.device_get(clipped_flags)]))
+                clipped_flags.clear()
                 if self.n_clipped >= self.clip_break_count:
                     log(f'[{self.total_step}] negative-loss clip count '
                         f'reached {self.n_clipped}; aborting run')
-                    return params, opt_state, True
+                    return True
                 m = acc.mean()
                 dt = time.time() - t0
                 mps = (self.mols_seen - mols0) / max(dt, 1e-9)
@@ -291,13 +318,29 @@ class Trainer:
                     f'mols/s: {mps:.1f}, '
                     + ', '.join(f'{k}: {v:.3f}' for k, v in sorted(m.items())))
                 acc.reset()
-            if self.save_iter > 0 and self.total_step % self.save_iter == 0 \
-                    and self.save_dir:
+            if next_save is not None and self.total_step >= next_save:
                 n_iter = self.total_step // self.save_iter - 1
-                ckpt.save_params(params, f'{self.save_dir}/model.{n_iter}')
+                next_save = (self.total_step // self.save_iter + 1) \
+                    * self.save_iter
+                if self.save_dir:
+                    ckpt.save_params(params, f'{self.save_dir}/model.{n_iter}')
+            return False
+
+        for batch in prefetch_batches(data, self._device_batch):
+            sig = tuple(getattr(l, 'shape', ()) for l in jax.tree.leaves(batch))
+            buckets[sig].append(batch)
+            if len(buckets[sig]) >= scan_chunk:
+                params, opt_state = run(params, opt_state, buckets.pop(sig))
+                if boundary(params, opt_state):
+                    return params, opt_state, True
+        for db_list in buckets.values():
+            params, opt_state = run(params, opt_state, db_list)
+            if boundary(params, opt_state):
+                return params, opt_state, True
+
         if clipped_flags:
-            self.n_clipped += int(sum(int(x) for x in
-                                      jax.device_get(clipped_flags)))
+            self.n_clipped += int(np.sum([np.sum(np.asarray(x)) for x in
+                                          jax.device_get(clipped_flags)]))
             if self.n_clipped >= self.clip_break_count:
                 return params, opt_state, True
         return params, opt_state, False
