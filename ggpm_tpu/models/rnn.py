@@ -52,7 +52,7 @@ class MPNGRUCell(nn.Module):
         sum_h = h_nei.sum(axis=-2)
         z = jax.nn.sigmoid(self.W_z(jnp.concatenate([x, sum_h], axis=-1)))
         r1 = self.W_r(x)[..., None, :]
-        r2 = self.U_r(h_nei)
+        r2 = self.U_r(h_nei)   # per-neighbour H→H projection (already slim)
         r = jax.nn.sigmoid(r1 + r2)
         sum_gated_h = (r * h_nei).sum(axis=-2)
         pre_h = jnp.tanh(self.W_h(jnp.concatenate([x, sum_gated_h], axis=-1)))
@@ -131,8 +131,15 @@ class MPNLSTMCell(nn.Module):
         i = jax.nn.sigmoid(self.W_i(xh))
         o = jax.nn.sigmoid(self.W_o(xh))
         u = jnp.tanh(self.W(xh))
-        x_expand = jnp.broadcast_to(x[..., None, :], h_nei.shape[:-1] + (x.shape[-1],))
-        f = jax.nn.sigmoid(self.W_f(jnp.concatenate([x_expand, h_nei], axis=-1)))
+        # per-neighbour forget gate by linearity: W_f([x, h_k]) =
+        # W_f([x, 0]) + h_k @ Kf — an [R, in+H] + [R, A, H]×[H, H] pair
+        # instead of the reference's [R·A, in+H]×[in+H, H] (rnn.py:100-103);
+        # the teacher-forced decoder scan applies this cell every step
+        xf = self.W_f(jnp.concatenate([x, jnp.zeros_like(h_sum)], axis=-1))
+        kf = self.W_f.variables['params']['kernel'][x.shape[-1]:]
+        if self.dtype is not None:
+            kf = kf.astype(self.dtype)
+        f = jax.nn.sigmoid(xf[..., None, :] + h_nei @ kf)
         c = i * u + (f * c_nei).sum(axis=-2)
         h = o * jnp.tanh(c)
         return (h, c)
