@@ -149,6 +149,10 @@ def main():
         'decode_mols_per_sec': round(decode_mols_per_sec, 2),
         'decode_valid_frac': round(
             sum(s is not None for s in smiles) / dec_b, 3),
+        'baseline_note': 'reference publishes no throughput; 60 mols/sec '
+                         'is a documented ESTIMATE of the PyTorch '
+                         'reference on one modern GPU (see module '
+                         'docstring) — vs_baseline is vs that estimate',
     }))
 
 

@@ -213,7 +213,10 @@ class Metrics:
             'Frag': self.frag_similarity(gen, ref),
             'MW': self.mw_stat(gen, ref),
             'SA': self.sa_stat(gen, ref),
-            'FCD': None,  # requires pretrained ChemNet; unavailable offline
+            'FCD': None,
+            'FCD_note': 'requires the pretrained ChemNet checkpoint '
+                        '(unavailable offline); FP-Frechet is the '
+                        'Morgan-count Fréchet stand-in',
             'FP-Frechet': self.fp_frechet(gen, ref),
         }
 
