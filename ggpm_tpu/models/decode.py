@@ -210,6 +210,18 @@ class HierDecodeKernel:
         self.mess_update = dec('hdec_mess_update')
         self.assm = dec('hdec_assm')
 
+        # batched assembly scoring: one device call scores every queued
+        # multi-candidate case of a decode step (the serial path pays one
+        # relay round-trip per molecule per step)
+        def assm_batch_f(params, state, cand, icls_ids, n_icls, nth, ctx):
+            def one(c, ic, n, nt, cx):
+                return model.apply(
+                    params, state, c, ic, n, nt, cx,
+                    method=lambda m, *a: m._decoder().hdec_assm(*a))
+            return jax.vmap(one)(cand, icls_ids, n_icls, nth, ctx)
+        _assm_batch = jax.jit(assm_batch_f)
+        self.assm_batch = lambda *a: _assm_batch(self.params, *a)
+
         def fused(params, state, *args):
             *rest, mask = args
             return model.apply(
@@ -387,8 +399,7 @@ def decode_hier(model, params, vocab: PairVocab, avocab: Vocab,
                     nth_child = tree.in_degree(top)
                     tree.add_edge(child, top, (child, top, nth_child), row=row)
 
-        def score_cands(b, smiles, inter_cands, anchor_smiles, nth_child):
-            # device-scored candidate ranking against current atom hiddens
+        def pack_cands(smiles, inter_cands, anchor_smiles, nth_child):
             icls_ids = np.zeros(2, dtype=np.int32)
             for j, a_s in enumerate(anchor_smiles[:2]):
                 try:
@@ -400,19 +411,80 @@ def decode_hier(model, params, vocab: PairVocab, avocab: Vocab,
             for j, c in enumerate(use):
                 cand_arr[j, 0] = c[0]
                 cand_arr[j, 1] = c[-1]
-            sc = np.asarray(kern.assm(
-                state, jnp.asarray(cand_arr), jnp.asarray(icls_ids),
-                jnp.asarray(min(len(anchor_smiles), 2)),
-                jnp.asarray(min(nth_child, 19)), root_vecs[b]))
+            return (cand_arr, icls_ids, min(len(anchor_smiles), 2),
+                    min(nth_child, 19), use)
+
+        def order_cands(sc, use):
             order = np.argsort(-sc[:len(use)], kind='stable')
             return [list(use[j]) for j in order]
+
+        prescored = {}
+        if greedy:
+            # batch-score every molecule's FIRST beam attempt in ONE device
+            # call (per-sample enumeration is independent of the other
+            # samples' later assemblies); retries fall back to the serial
+            # scorer below, which is rare after the first attempt
+            queue = []
+            for b in expand_bids:
+                fa_node = stack[b][-2]
+                clab = int(cls_topk[b][0])
+                ilab = int(icls_topk[b][0])
+                try:
+                    smiles = vocab.get_smiles(clab)
+                    ismiles = vocab.get_ismiles(ilab)
+                    fa_cluster, _, fa_used = tree.get_cluster(fa_node)
+                    inter_cands, anchor_smiles, _ = graph.get_assm_cands(
+                        fa_cluster, fa_used, ismiles)
+                except Exception:
+                    continue
+                if len(inter_cands) > 1:
+                    nth_child = tree.in_degree(fa_node)
+                    queue.append((b, clab, ilab,
+                                  pack_cands(smiles, inter_cands,
+                                             anchor_smiles, nth_child)))
+            if queue:
+                sc = np.asarray(kern.assm_batch(
+                    state,
+                    jnp.asarray(np.stack([q[3][0] for q in queue])),
+                    jnp.asarray(np.stack([q[3][1] for q in queue])),
+                    jnp.asarray([q[3][2] for q in queue]),
+                    jnp.asarray([q[3][3] for q in queue]),
+                    root_vecs[np.asarray([q[0] for q in queue])]))
+                for (b, clab, ilab, packed), row in zip(queue, sc):
+                    prescored[(b, clab, ilab)] = order_cands(row, packed[4])
+
+        def score_cands(b, smiles, inter_cands, anchor_smiles, nth_child):
+            # device-scored candidate ranking against current atom hiddens;
+            # first-attempt orders come from the batched pre-scoring above
+            cand_arr, icls_ids, n_icls, nth, use = pack_cands(
+                smiles, inter_cands, anchor_smiles, nth_child)
+            sc = np.asarray(kern.assm(
+                state, jnp.asarray(cand_arr), jnp.asarray(icls_ids),
+                jnp.asarray(n_icls), jnp.asarray(nth), root_vecs[b]))
+            return order_cands(sc, use)
 
         for b in expand_bids:
             new_node, fa_node = stack[b][-1], stack[b][-2]
             cls_beam = _pick_beam(greedy, beam, scores[b], rng)
+            pre = {(clab, ilab): order
+                   for (bb, clab, ilab), order in prescored.items()
+                   if bb == b}
+
+            def scorer(bb, smiles, inter_cands, anchor_smiles, nth_child,
+                       _pre=pre, _b=b):
+                # the pre dict holds at most the beam-0 attempt; match by
+                # candidate-set identity (same (cls, icls) ⇒ same cands)
+                for order in _pre.values():
+                    if len(order) == len(inter_cands) and \
+                            sorted(map(tuple, order)) == \
+                            sorted(map(tuple, inter_cands)):
+                        return order
+                return score_cands(_b, smiles, inter_cands, anchor_smiles,
+                                   nth_child)
+
             ok = _try_assemble(tree, graph, vocab, b, new_node, fa_node,
                                cls_beam, cls_topk[b], icls_topk[b],
-                               score_cands,
+                               scorer,
                                results[b][-1] if log_steps else None)
             if not ok:
                 _forced_backtrack(tree, stack, b)
