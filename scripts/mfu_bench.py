@@ -62,8 +62,8 @@ def main():
                                                common_atom_vocab)))
             except Exception:
                 pass
-        sig = lambda mb: (mb.tree.fnode.shape, mb.tree.fmess.shape,
-                          mb.tree.agraph.shape[1], mb.plan.active.shape)
+        sig = lambda mb: tuple(getattr(l, 'shape', ())
+                               for l in jax.tree.leaves(mb))
         common, _ = Counter(sig(mb) for mb in out).most_common(1)[0]
         return [mb for mb in out if sig(mb) == common]
 
@@ -111,19 +111,22 @@ def main():
         except Exception as e:
             print('cost_analysis unavailable:', e)
 
+        # the whole epoch runs as ONE lax.scan device call (bit-identical
+        # to sequential steps) so the measurement is compute-bound
+        from ggpm_tpu.train.loop import stack_batches
+        stacked = stack_batches(dev)
+        k = len(dev)
         for _ in range(2):
-            for db in dev:
-                params, opt_state, _, _ = trainer.train_step(params,
-                                                             opt_state, db)
+            params, opt_state, _, _ = trainer.scan_steps(params, opt_state,
+                                                         stacked)
             jax.block_until_ready(params)
 
         n_steps = 0
         t0 = time.time()
         while time.time() - t0 < args.seconds:
-            for db in dev:
-                params, opt_state, _, _ = trainer.train_step(params,
-                                                             opt_state, db)
-                n_steps += 1
+            params, opt_state, _, _ = trainer.scan_steps(params, opt_state,
+                                                         stacked)
+            n_steps += k
             jax.block_until_ready(params)
         dt = time.time() - t0
         steps_sec = n_steps / dt
