@@ -67,6 +67,16 @@ for s in $steps; do
         --ckpt runs/QUALITY_curated_r2.json.ckpt \
         --hidden 400 --latent 48 --policy hard \
         --out runs/OPTIMIZE_curated_hard.json ;;
+    polymers_test)
+      run polymers_test 7200 python scripts/quality_run.py \
+        --data /root/reference/data/polymers/valid.txt --limit 5000 \
+        --holdout 250 --min-freq 40 --epochs 60 --ft-epochs 0 \
+        --out runs/QUALITY_polymers_test.json ;;
+    hier_hopv_test)
+      run hier_hopv_test 7200 python scripts/quality_run.py \
+        --data /root/reference/data/hopv15/hopv15.csv --model hier-prop \
+        --holdout 50 --epochs 200 --ft-epochs 0 \
+        --out runs/QUALITY_hier_hopv_test.json ;;
     parity)
       run parity 1200 bash -c '
         python scripts/parity_harness.py reference &&
