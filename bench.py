@@ -71,33 +71,29 @@ def main():
                           'unit': 'mols/sec', 'vs_baseline': 0.0}))
         return
 
-    # keep a single dominant bucket signature: one compile, and the whole
-    # epoch stacks into a single lax.scan device call (see below)
-    from collections import Counter
-    import jax.numpy as jnp
-
-    def full_sig(mb):
-        return tuple(getattr(l, 'shape', ()) for l in jax.tree.leaves(mb))
-    common_sig, _ = Counter(full_sig(mb) for mb in batches).most_common(1)[0]
-    bench_batches = [mb for mb in batches if full_sig(mb) == common_sig]
-
     cfg = ModelConfig(hvocab_size=vocab.size()[0], ivocab_size=vocab.size()[1],
                       rnn_type='LSTM', hidden_size=250, embed_size=250,
                       latent_size=24, depthT=20, diterT=1, dropout=0.0)
     model = PropertyVAE(cfg=cfg)
     opt = make_optimizer(lr=1e-3, clip_norm=20.0, anneal_rate=0.9,
-                         steps_per_epoch=max(len(bench_batches), 1))
+                         steps_per_epoch=max(len(batches), 1))
     trainer = Trainer(model, opt, vocab.mask, beta=0.1, print_iter=10 ** 9)
     _progress('initializing model')
-    params, opt_state = trainer.init(bench_batches[0])
+    params, opt_state = trainer.init(batches[0])
 
-    # pre-upload batches and stack the whole epoch into ONE device call:
-    # a lax.scan over the stacked batches runs K optimizer steps per
-    # dispatch (bit-identical to K sequential steps — tests/test_train.py),
-    # so the measured rate is compute-bound, not dispatch-latency-bound,
-    # and the relay sees K× fewer messages
+    # pre-upload batches, keep the dominant DEVICE-batch signature (every
+    # leaf shape must match to stack), and run the whole epoch as ONE
+    # lax.scan device call: K optimizer steps per dispatch, bit-identical
+    # to K sequential steps (tests/test_train.py) — the measured rate is
+    # compute-bound, not dispatch-latency-bound, and the relay sees K×
+    # fewer messages
+    from collections import Counter
     from ggpm_tpu.train.loop import stack_batches
-    dev_batches = [trainer._device_batch(mb) for mb in bench_batches]
+    all_dev = [trainer._device_batch(mb) for mb in batches]
+    dev_sig = lambda db: tuple(getattr(l, 'shape', ())
+                               for l in jax.tree.leaves(db))
+    common_sig, _ = Counter(dev_sig(db) for db in all_dev).most_common(1)[0]
+    dev_batches = [db for db in all_dev if dev_sig(db) == common_sig]
     stacked = stack_batches(dev_batches)
     k_steps = len(dev_batches)
 

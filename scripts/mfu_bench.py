@@ -62,10 +62,7 @@ def main():
                                                common_atom_vocab)))
             except Exception:
                 pass
-        sig = lambda mb: tuple(getattr(l, 'shape', ())
-                               for l in jax.tree.leaves(mb))
-        common, _ = Counter(sig(mb) for mb in out).most_common(1)[0]
-        return [mb for mb in out if sig(mb) == common]
+        return out
 
     combos = [('canonical', 250, 24, 'float32', 20)]
     if not args.quick:
@@ -97,7 +94,12 @@ def main():
         trainer = Trainer(model, opt, vocab.mask, beta=0.1,
                           print_iter=10 ** 9)
         params, opt_state = trainer.init(batches[0])
-        dev = [trainer._device_batch(mb) for mb in batches]
+        # dominant DEVICE-batch signature (every leaf must match to stack)
+        all_dev = [trainer._device_batch(mb) for mb in batches]
+        dev_sig = lambda db: tuple(getattr(l, 'shape', ())
+                                   for l in jax.tree.leaves(db))
+        common, _ = Counter(dev_sig(db) for db in all_dev).most_common(1)[0]
+        dev = [db for db in all_dev if dev_sig(db) == common]
 
         # analytic FLOPs of the compiled step
         flops = None
