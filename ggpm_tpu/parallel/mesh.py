@@ -92,6 +92,106 @@ def make_dp_train_step(model, optimizer, mesh: Mesh, beta: float = 0.1,
     return step
 
 
+def make_mesh_2d(dp: int, tp: int, devices=None) -> Mesh:
+    """A (data × model) 2-D mesh for combined DP + vocab-dim TP."""
+    if devices is None:
+        devices = jax.devices()
+    assert len(devices) >= dp * tp, (len(devices), dp, tp)
+    return Mesh(np.asarray(devices[:dp * tp]).reshape(dp, tp),
+                ('data', 'model'))
+
+
+def param_partition_spec(params, tp_axis: str = 'model',
+                         min_dim: int = 256):
+    """Partition specs for DP+TP: vocab-dimension parameter matrices are
+    sharded over ``tp_axis``, everything else replicated.
+
+    The only tensors worth model-sharding in this family are the ones with
+    a vocabulary-sized dimension — motif/attachment embeddings
+    (|vocab| × embed) and the cls/icls output heads (hidden × |vocab|);
+    at the reference's full scale (6.2k attachments × hidden 700) they
+    dominate parameter memory.  Hidden-sized matrices stay replicated
+    (SURVEY §2.6: TP of a 250-700 hidden dim is counterproductive)."""
+
+    def spec_for(path, x):
+        name = '/'.join(getattr(p, 'key', str(p)) for p in path)
+        if getattr(x, 'ndim', 0) != 2:
+            return P()
+        is_vocab_embed = ('E_c' in name or 'E_i' in name) and \
+            'embedding' in name and x.shape[0] >= min_dim
+        is_vocab_head = ('cls' in name.lower() and 'kernel' in name
+                         and x.shape[-1] >= min_dim)
+        if is_vocab_embed:
+            return P(tp_axis, None)
+        if is_vocab_head:
+            return P(None, tp_axis)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def make_gspmd_train_step(model, optimizer, mesh: Mesh, beta: float = 0.1,
+                          perturb_z: bool = True,
+                          tp_min_dim: int = 256) -> Callable:
+    """Combined DP + TP step via GSPMD sharding propagation.
+
+    DP: the loss is ``vmap``-ed over the stacked [D, ...] device axis of
+    the batch, which is sharded over the mesh's ``data`` axis — XLA
+    partitions the vmapped computation across data rows exactly like the
+    shard_map formulation, inserting the gradient ``psum`` automatically.
+    TP: vocab-dimension parameters carry ``model``-axis shardings
+    (param_partition_spec); GSPMD propagates them through the embedding
+    gathers and cls-head matmuls and inserts the collectives (all-gather
+    of logits rows / reduce-scatter of their grads) without any change to
+    the model code.  Optimizer state inherits the param shardings.
+
+    Returns (step, place) where ``place(params, opt_state, stacked)``
+    lays the trees out over the mesh.
+    """
+    rep = NamedSharding(mesh, P())
+
+    def loss_fn(params, stacked, rng):
+        d = jax.tree.leaves({k: v for k, v in stacked.items()
+                             if k != 'vocab_mask'})[0].shape[0]
+        rngs = jax.random.split(rng, d)
+
+        def per_dev(batch, r):
+            batch = dict(batch, vocab_mask=stacked['vocab_mask'])
+            loss, metrics, aux = model.apply(
+                params, batch, beta, r, perturb_z, False,
+                rngs={'dropout': jax.random.fold_in(r, 1)})
+            return loss, metrics, aux['clipped'].astype(jnp.int32)
+
+        losses, metrics, clipped = jax.vmap(per_dev)(
+            {k: v for k, v in stacked.items() if k != 'vocab_mask'}, rngs)
+        metrics = jax.tree.map(lambda x: x.mean(), metrics)
+        return losses.mean(), (metrics, {'clipped': clipped.max()})
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, stacked, rng):
+        (loss, (metrics, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, stacked, rng)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, metrics, aux
+
+    def place(params, opt_state, stacked):
+        pspec = param_partition_spec(params, min_dim=tp_min_dim)
+        params = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            params, pspec)
+        opt_state = jax.tree.map(lambda x: jax.device_put(x, rep), opt_state)
+        stacked = {
+            k: (jax.device_put(v, rep) if k == 'vocab_mask'
+                else jax.tree.map(
+                    lambda x: jax.device_put(
+                        x, NamedSharding(mesh, P('data'))), v))
+            for k, v in stacked.items()}
+        return params, opt_state, stacked
+
+    return step, place
+
+
 def shard_model_batches(batches: Sequence[Dict], mesh: Mesh,
                         axis: str = 'data') -> Dict:
     """Stack per-device batches and lay them out over the mesh."""

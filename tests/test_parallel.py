@@ -97,3 +97,51 @@ def test_dp_step_hier_model(tiny_model_setup):
     stacked = shard_model_batches([batch] * 8, mesh)
     params, opt_state, metrics, aux = step(params, opt_state, stacked, rng)
     assert np.isfinite(float(metrics['Loss']))
+
+
+def test_gspmd_dp_tp_step(tiny_model_setup):
+    """Combined DP + vocab-dim TP on a 4x2 (data x model) mesh: the step
+    runs, at least one vocab-dimension parameter is genuinely sharded over
+    the model axis, and the gradient agrees with single-device."""
+    from ggpm_tpu.parallel.mesh import (make_gspmd_train_step, make_mesh_2d,
+                                        param_partition_spec, stack_batches)
+    from jax.sharding import PartitionSpec as P
+
+    st = tiny_model_setup
+    model, vocab = st['model'], st['vocab']
+    batch = to_model_batch(st['batches'][0], vocab.mask, pad=False)
+    mesh = make_mesh_2d(4, 2)
+    opt = make_optimizer(lr=1e-3, steps_per_epoch=10)
+    rng = jax.random.PRNGKey(3)
+    params = jax.tree.map(jnp.array, st['params'])
+    opt_state = opt.init(params)
+
+    # the tiny fixture's vocab is small — lower the TP threshold so its
+    # embeddings/heads shard
+    pspec = param_partition_spec(params, min_dim=8)
+    sharded_specs = [s for s in jax.tree.leaves(
+        pspec, is_leaf=lambda x: isinstance(x, P)) if s != P()]
+    assert sharded_specs, 'no vocab-dim parameter matched the TP rules'
+
+    # single-device loss FIRST: place() may alias buffers on a CPU mesh and
+    # the step donates its inputs, deleting them
+    def loss_fn(pp):
+        k = jax.random.split(rng, 4)[0]
+        loss, _, _ = model.apply(pp, jax.tree.map(jnp.asarray, batch), 0.01,
+                                 k, False, False,
+                                 rngs={'dropout': jax.random.fold_in(k, 1)})
+        return loss
+    single = float(loss_fn(params))
+
+    step, place = make_gspmd_train_step(model, opt, mesh, beta=0.01,
+                                        perturb_z=False, tp_min_dim=8)
+    stacked = stack_batches([batch] * 4)
+    p, o, s = place(params, opt_state, stacked)
+    assert any('model' in str(x.sharding.spec) for x in jax.tree.leaves(p))
+
+    p2, o2, metrics, aux = step(p, o, s, rng)
+    # per-device rngs differ from the single-device key only through the
+    # (disabled) latent perturbation, so the mean loss over identical
+    # shards must match a single shard's loss
+    np.testing.assert_allclose(float(metrics['Loss']), single, rtol=1e-4)
+    assert any('model' in str(x.sharding.spec) for x in jax.tree.leaves(p2))
