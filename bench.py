@@ -88,7 +88,7 @@ def main():
     # compute-bound, not dispatch-latency-bound, and the relay sees K×
     # fewer messages
     from collections import Counter
-    from ggpm_tpu.train.loop import stack_batches
+    from ggpm_tpu.train.loop import device_sync, stack_batches
     all_dev = [trainer._device_batch(mb) for mb in batches]
     dev_sig = lambda db: tuple(getattr(l, 'shape', ())
                                for l in jax.tree.leaves(db))
@@ -99,9 +99,9 @@ def main():
 
     _progress('warmup / compile')
     for _ in range(2):
-        params, opt_state, _, _ = trainer.scan_steps(params, opt_state,
-                                                     stacked)
-        jax.block_until_ready(params)
+        params, opt_state, metrics, _ = trainer.scan_steps(params, opt_state,
+                                                           stacked)
+        device_sync(metrics)
 
     _progress('timed train loop')
     # timed steady state (~15s)
@@ -111,7 +111,7 @@ def main():
         params, opt_state, metrics, _ = trainer.scan_steps(params, opt_state,
                                                            stacked)
         n_mols += batch_size * k_steps
-        jax.block_until_ready(params)
+        device_sync(metrics)
     elapsed = time.time() - t0
     mols_per_sec = n_mols / elapsed
 

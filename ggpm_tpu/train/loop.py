@@ -65,6 +65,20 @@ def optax_global_norm(tree) -> jnp.ndarray:
     return jnp.sqrt(sum(jnp.sum(x * x) for x in jax.tree.leaves(tree)))
 
 
+def device_sync(tree) -> None:
+    """True host synchronisation by fetching one (tiny) leaf value.
+
+    ``jax.block_until_ready`` is NON-FUNCTIONAL in this environment — it
+    returns immediately even for fresh non-donated outputs of undispatched
+    computations (measured: 40 chained 2000² matmuls "block" in 3 ms and
+    the subsequent value fetch takes 91 s).  Every pacing/timing sync must
+    therefore fetch a value; call this with a small tree (e.g. the step's
+    metrics), never with params."""
+    leaves = jax.tree.leaves(tree)
+    if leaves:
+        np.asarray(leaves[0])
+
+
 def make_scan_train_step(model, optimizer, beta: float = 0.1,
                          perturb_z: bool = True,
                          beta_warmup_steps: int = 0) -> Callable:
@@ -285,7 +299,10 @@ class Trainer:
             next_save = (self.total_step // self.save_iter + 1) * self.save_iter
         buckets = defaultdict(list)
 
+        last_sync = self.total_step
+
         def run(params, opt_state, db_list):
+            nonlocal last_sync
             if len(db_list) == 1:
                 params, opt_state, metrics, aux = self.train_step(
                     params, opt_state, db_list[0])
@@ -297,6 +314,13 @@ class Trainer:
                 self.mols_seen += len(db['plan']['root_clab'])
             acc.add(metrics)
             clipped_flags.append(aux.get('clipped', False))
+            # bound the async dispatch backlog: donated outputs alias their
+            # inputs, so blocking on params is a no-op — sync on the fresh
+            # metrics tree every ~64 steps (an unsynced loop can queue
+            # minutes of device work and starve everything behind it)
+            if self.total_step - last_sync >= 64:
+                device_sync(metrics)
+                last_sync = self.total_step
             return params, opt_state
 
         def boundary(params, opt_state):

@@ -28,6 +28,44 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 V5E_PEAK_FLOPS = 197e12  # bf16, one chip
 
 
+def count_matmul_flops(jaxpr) -> float:
+    """Sum 2·M·N·K over every dot_general in a jaxpr, recursing into scan
+    bodies (× trip count), pjit/remat calls, and cond branches (max).
+
+    XLA's ``cost_analysis()['flops']`` counts gathers/elementwise as flops
+    and overcounts this model by ~10× (MFU > 1); the MXU roofline only
+    cares about matmul flops."""
+    import math
+    total = 0.0
+    for eqn in jaxpr.eqns:
+        prim = eqn.primitive.name
+        params = eqn.params or {}
+        if prim == 'dot_general':
+            (lc, _), _ = params['dimension_numbers']
+            lhs = eqn.invars[0].aval
+            out = eqn.outvars[0].aval
+            k = 1
+            for d in lc:
+                k *= lhs.shape[d]
+            total += 2 * math.prod(out.shape) * k
+        elif prim == 'scan':
+            total += count_matmul_flops(params['jaxpr'].jaxpr) \
+                * params['length']
+        elif prim == 'while':
+            # no while_loops on the training path; count one iteration
+            total += count_matmul_flops(params['body_jaxpr'].jaxpr)
+        elif 'branches' in params:
+            total += max(count_matmul_flops(b.jaxpr)
+                         for b in params['branches'])
+        else:
+            for pname in ('jaxpr', 'call_jaxpr', 'fun_jaxpr'):
+                sub = params.get(pname)
+                if sub is not None:
+                    total += count_matmul_flops(getattr(sub, 'jaxpr', sub))
+                    break
+    return total
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--data', default='/root/reference/data/hopv15/hopv15.csv')
@@ -64,19 +102,22 @@ def main():
                 pass
         return out
 
-    combos = [('canonical', 250, 24, 'float32', 20)]
+    # (name, hidden, latent, dtype, batch, remat) — the scan backward
+    # holds every step's residuals, so large-batch rows rematerialise the
+    # decoder scan (29.6G HBM demand at b240 without it)
+    combos = [('canonical', 250, 24, 'float32', 20, False)]
     if not args.quick:
         combos += [
-            ('canonical', 250, 24, 'float32', 240),
-            ('canonical', 250, 24, 'bfloat16', 240),
-            ('large', 700, 48, 'float32', 20),
-            ('large', 700, 48, 'float32', 240),
-            ('large', 700, 48, 'bfloat16', 240),
+            ('canonical', 250, 24, 'float32', 240, True),
+            ('canonical', 250, 24, 'bfloat16', 240, True),
+            ('large', 700, 48, 'float32', 20, False),
+            ('large', 700, 48, 'float32', 240, True),
+            ('large', 700, 48, 'bfloat16', 240, True),
         ]
 
     batch_cache = {}
     rows = []
-    for name, hidden, latent, dtype, bs in combos:
+    for name, hidden, latent, dtype, bs, remat in combos:
         if bs not in batch_cache:
             batch_cache[bs] = make_batches(bs)
         batches = batch_cache[bs]
@@ -87,7 +128,7 @@ def main():
                           ivocab_size=vocab.size()[1], rnn_type='LSTM',
                           hidden_size=hidden, embed_size=hidden,
                           latent_size=latent, depthT=20, diterT=1,
-                          dropout=0.0, compute_dtype=dtype)
+                          dropout=0.0, compute_dtype=dtype, remat=remat)
         model = PropertyVAE(cfg=cfg)
         opt = make_optimizer(lr=1e-3, clip_norm=20.0, anneal_rate=0.9,
                              steps_per_epoch=max(len(batches), 1))
@@ -101,35 +142,35 @@ def main():
         common, _ = Counter(dev_sig(db) for db in all_dev).most_common(1)[0]
         dev = [db for db in all_dev if dev_sig(db) == common]
 
-        # analytic FLOPs of the compiled step
+        # matmul FLOPs per optimizer step from the step jaxpr (MXU
+        # roofline; see count_matmul_flops for why not cost_analysis)
         flops = None
         try:
             rng = jax.random.PRNGKey(0)
-            lowered = trainer.step_fn.lower(params, opt_state, dev[0], rng)
-            ca = lowered.compile().cost_analysis()
-            if isinstance(ca, (list, tuple)):
-                ca = ca[0]
-            flops = float(ca.get('flops', 0.0))
+            jx = jax.make_jaxpr(
+                lambda p, o, b, r: trainer.step_fn(p, o, b, r))(
+                params, opt_state, dev[0], rng)
+            flops = count_matmul_flops(jx.jaxpr)
         except Exception as e:
-            print('cost_analysis unavailable:', e)
+            print('flop count unavailable:', e)
 
         # the whole epoch runs as ONE lax.scan device call (bit-identical
         # to sequential steps) so the measurement is compute-bound
-        from ggpm_tpu.train.loop import stack_batches
+        from ggpm_tpu.train.loop import device_sync, stack_batches
         stacked = stack_batches(dev)
         k = len(dev)
         for _ in range(2):
-            params, opt_state, _, _ = trainer.scan_steps(params, opt_state,
-                                                         stacked)
-            jax.block_until_ready(params)
+            params, opt_state, ms, _ = trainer.scan_steps(params, opt_state,
+                                                          stacked)
+            device_sync(ms)
 
         n_steps = 0
         t0 = time.time()
         while time.time() - t0 < args.seconds:
-            params, opt_state, _, _ = trainer.scan_steps(params, opt_state,
-                                                         stacked)
+            params, opt_state, ms, _ = trainer.scan_steps(params, opt_state,
+                                                          stacked)
             n_steps += k
-            jax.block_until_ready(params)
+            device_sync(ms)
         dt = time.time() - t0
         steps_sec = n_steps / dt
         mols_sec = steps_sec * bs

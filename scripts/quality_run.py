@@ -111,7 +111,7 @@ def main():
     # device call per epoch (bit-identical to sequential steps; dispatch
     # volume drops by the group size — kind to the flaky TPU relay)
     from collections import defaultdict
-    from ggpm_tpu.train.loop import stack_batches
+    from ggpm_tpu.train.loop import device_sync, stack_batches
     groups = defaultdict(list)
     for db in dev_batches:
         groups[tuple(getattr(l, 'shape', ()) for l in
@@ -129,11 +129,17 @@ def main():
             else:
                 params, opt_state, metrics, _ = trainer.scan_steps(
                     params, opt_state, st_batch)
+        # real value-fetch sync every few epochs: block_until_ready is
+        # non-functional here (see ggpm_tpu.train.loop.device_sync), and
+        # an unsynced loop queues the entire run onto the device in
+        # seconds, starving everything behind it on the shared relay
+        if epoch % 5 == 0:
+            device_sync(metrics)
         if epoch % 50 == 0:
             m = {k: round(float(np.asarray(v).reshape(-1)[-1]), 3)
                  for k, v in metrics.items()}
             print(f'epoch {epoch}: {m}', flush=True)
-    jax.block_until_ready(params)
+    device_sync(metrics)
     print(f'trained in {time.time()-t0:.0f}s', flush=True)
     ev = trainer.evaluate(params, batches)
     print('final train metrics:', {k: round(v, 3) for k, v in ev.items()}, flush=True)
