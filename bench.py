@@ -104,15 +104,19 @@ def main():
         device_sync(metrics)
 
     _progress('timed train loop')
-    # timed steady state (~15s)
-    n_mols = 0
+    # fixed-work measurement: dispatch N chained scan calls (execution is
+    # sequential — each call's donated params feed the next), then ONE
+    # value-fetch sync that waits for the whole chain.  A sync per call
+    # would add a relay round-trip (up to ~1s when the relay is busy) to
+    # every 14-step scan and measure the relay, not the TPU.
+    n_calls = 20
     t0 = time.time()
-    while time.time() - t0 < 15.0:
+    for _ in range(n_calls):
         params, opt_state, metrics, _ = trainer.scan_steps(params, opt_state,
                                                            stacked)
-        n_mols += batch_size * k_steps
-        device_sync(metrics)
+    device_sync(metrics)
     elapsed = time.time() - t0
+    n_mols = batch_size * k_steps * n_calls
     mols_per_sec = n_mols / elapsed
 
     # ---- decode throughput (autoregressive generation from the prior) ----

@@ -164,13 +164,16 @@ def main():
                                                           stacked)
             device_sync(ms)
 
+        # fixed-work measurement with ONE final sync (see bench.py: a
+        # sync per call measures the relay round-trip, not the TPU)
+        n_calls = max(int(args.seconds), 2)
         n_steps = 0
         t0 = time.time()
-        while time.time() - t0 < args.seconds:
+        for _ in range(n_calls):
             params, opt_state, ms, _ = trainer.scan_steps(params, opt_state,
                                                           stacked)
             n_steps += k
-            device_sync(ms)
+        device_sync(ms)
         dt = time.time() - t0
         steps_sec = n_steps / dt
         mols_sec = steps_sec * bs
