@@ -157,6 +157,9 @@ def run_ours(recon_csv, out_path, optimize_jsons=()):
     name = os.path.basename(recon_csv).replace('.csv', '')
     results['predictions'][name] = recon_metrics(rows)
     for oj in optimize_jsons:
+        if not os.path.exists(oj):
+            print(f'[ours] skipping missing {oj}')
+            continue
         with open(oj) as f:
             results['optimize'][os.path.basename(oj).replace('.json', '')] = \
                 json.load(f)
