@@ -117,13 +117,14 @@ def main():
 
     batch_cache = {}
     rows = []
-    for name, hidden, latent, dtype, bs, remat in combos:
+
+    def run_combo(name, hidden, latent, dtype, bs, remat):
         if bs not in batch_cache:
             batch_cache[bs] = make_batches(bs)
         batches = batch_cache[bs]
         if not batches:
             print(f'{name} b{bs}: no batches, skipped')
-            continue
+            return
         cfg = ModelConfig(hvocab_size=vocab.size()[0],
                           ivocab_size=vocab.size()[1], rnn_type='LSTM',
                           hidden_size=hidden, embed_size=hidden,
@@ -185,6 +186,18 @@ def main():
                'mfu': round(mfu, 4) if mfu is not None else None}
         rows.append(row)
         print(row, flush=True)
+
+    for combo in combos:
+        try:
+            run_combo(*combo)
+        except Exception as e:
+            # one combo's compile failure (device OOM, relay flake) must
+            # not lose the other rows
+            print(f'{combo[0]} b{combo[4]} {combo[3]}: FAILED '
+                  f'{type(e).__name__}: {str(e)[:200]}', flush=True)
+            rows.append({'config': combo[0], 'hidden': combo[1],
+                         'dtype': combo[3], 'batch': combo[4],
+                         'error': str(e)[:200]})
 
     os.makedirs(os.path.dirname(args.out) or '.', exist_ok=True)
     with open(args.out, 'w') as f:
