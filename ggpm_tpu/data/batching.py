@@ -103,13 +103,28 @@ def pad_batch(mb: MolGraphBatch) -> MolGraphBatch:
     """Pad a MolGraphBatch to joint bucket shapes (pure numpy, host-side)."""
     t, g, p = mb.tree, mb.graph, mb.plan
     need = {'nt': t.fnode.shape[0], 'mt': t.fmess.shape[0],
-            'ng': g.fnode.shape[0], 'mg': g.fmess.shape[0],
-            'ts': p.active.shape[0]}
+            'ng': g.fnode.shape[0], 'mg': g.fmess.shape[0]}
     f = 1
     for key, base in _BASE.items():
+        if key == 'ts':
+            continue
         while base * f < need[key]:
             f *= 2
-    dims = {k: _BASE[k] * f for k in _BASE}
+    # intermediate ladder rung: if 3/4 of the power-of-two factor still
+    # fits every dim, take it (bases are multiples of 4, so dims stay
+    # integral) — caps padding waste at ~33% instead of ~100% for sizes
+    # just past a power of two, at the cost of one extra bucket signature
+    if f >= 4 and all(_BASE[k] * f * 3 // 4 >= need[k]
+                      for k in need):
+        dims = {k: _BASE[k] * f * 3 // 4 for k in _BASE}
+    else:
+        dims = {k: _BASE[k] * f for k in _BASE}
+    # the decode-plan scan EXECUTES every padded step, so its length gets
+    # its own fine-grained bucket (multiple of 32) instead of riding the
+    # joint power-of-two factor: graph-size dims at the canonical batch
+    # put f at 16, which padded ~50-70 real DFS steps to 256 — 4-5× wasted
+    # decoder-scan compute per training step
+    dims['ts'] = max(32, -(-p.active.shape[0] // 32) * 32)
     # widths are data-bounded, not size-proportional: fixed small ladder
     at = _round_up(max(t.agraph.shape[1], t.bgraph.shape[1]), minimum=8)
     ct = _round_up(t.cgraph.shape[1], minimum=16)
