@@ -110,17 +110,27 @@ def _try_assemble(tree, graph, vocab, b, new_node, fa_node, cls_beam,
     return False
 
 
-_KERNEL_CACHE: dict = {}
+_KERNEL_CACHE: "OrderedDict" = None
+_KERNEL_CACHE_SIZE = 4
 
 
 def _get_kernel(cls, model, params, vocab_mask, beam):
-    """Reuse kernel objects across decode calls.
+    """Reuse kernel objects across decode calls (bounded LRU).
 
     ``jax.jit`` caches compilations per function object; each kernel holds
     fresh jit closures, so constructing a kernel per decode call would
     recompile every step function on every call (~minutes at quality-run
     batch sizes).  Keyed by object identity: params pytrees are immutable
-    and long-lived in every driver (trainer state / loaded checkpoint)."""
+    and long-lived in every driver (trainer state / loaded checkpoint).
+
+    The cache is a small LRU: each entry pins its params tree (host+device
+    buffers) and jit caches, so an unbounded cache leaks a full model per
+    decode call in drivers that decode with evolving params (e.g. decode
+    after every fine-tune epoch)."""
+    global _KERNEL_CACHE
+    if _KERNEL_CACHE is None:
+        from collections import OrderedDict
+        _KERNEL_CACHE = OrderedDict()
     key = (cls, id(model), id(params), id(vocab_mask), beam)
     kern = _KERNEL_CACHE.get(key)
     if kern is None:
@@ -128,7 +138,25 @@ def _get_kernel(cls, model, params, vocab_mask, beam):
         # keep the keyed objects alive so id() keys can't be recycled
         kern._cache_refs = (model, params, vocab_mask)
         _KERNEL_CACHE[key] = kern
+        while len(_KERNEL_CACHE) > _KERNEL_CACHE_SIZE:
+            _KERNEL_CACHE.popitem(last=False)
+    else:
+        _KERNEL_CACHE.move_to_end(key)
     return kern
+
+
+def _check_no_attention(model):
+    """use_attention models condition their heads on encoder node memory at
+    TRAINING time, but every decode kernel hard-codes the latent as context
+    — decoding such a model would silently degrade generations.  Refuse
+    loudly instead (threading src_mem through decode is future work)."""
+    cfg = getattr(model, 'cfg', None)
+    if cfg is not None and getattr(cfg, 'use_attention', False):
+        raise NotImplementedError(
+            'decode kernels do not thread encoder attention memory: a model '
+            'built with use_attention=True would be decoded with contexts '
+            'its heads were never trained on (see ADVICE r2). Train without '
+            'use_attention for decoding, or extend the decode kernels.')
 
 
 class MotifDecodeKernel:
@@ -182,6 +210,13 @@ class MotifDecodeKernel:
         _step_fused = jax.jit(step)
         self.step_fused = lambda *a: _step_fused(self.params, *a, self.mask)
         self._topk = jax.jit(lambda c, i, m: hier_topk(c, i, m, beam))
+
+        def propose(params, root_vecs, mask, u_seq):
+            return model.apply(
+                params, root_vecs, mask, u_seq, beam,
+                method=lambda m, *a: m._decoder().dec_propose(*a))
+        _propose = jax.jit(propose)
+        self.propose = lambda rv, u: _propose(self.params, rv, self.mask, u)
 
     def topk(self, cls_scores, icls_scores):
         return self._topk(cls_scores, icls_scores, self.mask)
@@ -253,6 +288,7 @@ def decode_hier(model, params, vocab: PairVocab, avocab: Vocab,
     frontier clusters' atom hiddens on device, and assembly candidates are
     scored against them (candidate-dependent, unlike the motif decoder)."""
     rng = rng or np.random.default_rng(0)
+    _check_no_attention(model)
     root_vecs = jnp.asarray(root_vecs)
     batch_size = root_vecs.shape[0]
     results = [[] for _ in range(batch_size)]
@@ -495,6 +531,119 @@ def decode_hier(model, params, vocab: PairVocab, avocab: Vocab,
     return results, smiles_out
 
 
+_DIVERGED = object()
+
+
+def _replay_one(trace_b, root_cls_b, root_icls_b, vocab: PairVocab,
+                avocab: Vocab, beam: int, max_nodes: int, max_edges: int,
+                max_nb: int = 12):
+    """Replay one sample's device decision trace with real chemistry.
+
+    Follows the recorded expand/backtrack choices and commits the beam-0
+    motif at every expand (the device's speculation); returns the decoded
+    SMILES, or ``_DIVERGED`` when assembly rejects beam-0 anywhere — the
+    exact path (beam retry / forced backtrack, reference
+    decoder.py:1037-1089) must then re-decode this sample."""
+    tree = IncTree(1, max_nodes=max_nodes, max_edges=max_edges, max_nb=max_nb)
+    graph = IncGraph(avocab, 1, max_nodes=max_nodes, max_edges=max_edges + 100)
+    stack: List[int] = []
+
+    clab, ilab = int(root_cls_b), int(root_icls_b)
+    super_root = tree.add_node()
+    root_idx = tree.add_node((clab, ilab))
+    tree.add_edge(super_root, root_idx)
+    stack.append(root_idx)
+    try:
+        new_atoms, new_bonds, attached = graph.add_mol(
+            0, vocab.get_ismiles(ilab), [], 0)
+    except Exception:
+        return _DIVERGED
+    tree.register_cgraph(root_idx, new_atoms, new_bonds, attached)
+
+    T = trace_b.shape[0]
+    for t in range(T):
+        if not stack:
+            break
+        choose = trace_b[t, 1] > 0.5
+        if choose:
+            parent = stack[-1]
+            new_node = tree.add_node()
+            tree.add_edge(parent, new_node, (parent, new_node, 0))
+            stack.append(new_node)
+            cls_topk = trace_b[t, 2 + beam:2 + 2 * beam].astype(np.int32)
+            icls_topk = trace_b[t, 2 + 2 * beam:2 + 3 * beam].astype(np.int32)
+            ok = _try_assemble(tree, graph, vocab, 0, new_node, parent,
+                               [0], cls_topk, icls_topk, None, None)
+            if not ok:
+                return _DIVERGED
+        else:
+            child = stack.pop()
+            if stack:
+                top = stack[-1]
+                tree.add_edge(child, top, (child, top, tree.in_degree(top)))
+    smiles = graph.get_smiles()
+    return smiles[0] if smiles else None
+
+
+def decode_motif_turbo(model, params, vocab: PairVocab, avocab: Vocab,
+                       root_vecs: np.ndarray, greedy: bool = True,
+                       max_decode_step: int = 150, beam: int = 5,
+                       max_nodes: int = 400, max_edges: int = 500,
+                       rng: Optional[np.random.Generator] = None,
+                       log_steps: bool = False):
+    """Device-resident speculative decode (motif family).
+
+    ONE device call runs the whole autoregressive loop as a ``lax.scan``
+    (``MotifDecoder.dec_propose``) and ONE fetch brings back the full
+    decision trace; the host replays it with real chemistry.  Samples whose
+    assembly rejects the speculated beam-0 motif anywhere (rare on trained
+    models — measured ~70-90% of molecules replay clean) are re-decoded by
+    the exact host-interleaved path, preserving ``decode_motif`` semantics
+    bit-for-bit.  Stochastic decoding keeps the exact path (its candidate
+    shuffle consumes host RNG per step).
+
+    Returns (results, smiles) like ``decode_motif``; per-step logs are only
+    produced for fallback samples (``log_steps`` applies there)."""
+    if not greedy:
+        return decode_motif(model, params, vocab, avocab, root_vecs,
+                            greedy=False, max_decode_step=max_decode_step,
+                            beam=beam, max_nodes=max_nodes,
+                            max_edges=max_edges, rng=rng, log_steps=log_steps)
+    _check_no_attention(model)
+    root_vecs = np.asarray(root_vecs)
+    batch_size = root_vecs.shape[0]
+    kern = _get_kernel(MotifDecodeKernel, model, params, vocab.mask, beam)
+
+    u = jnp.full((max_decode_step, batch_size), 0.5, dtype=jnp.float32)
+    packed, root_cls, root_icls = kern.propose(jnp.asarray(root_vecs), u)
+    packed = np.asarray(packed)          # ONE host round-trip for the trace
+    root_cls = np.asarray(root_cls)
+    root_icls = np.asarray(root_icls)
+
+    smiles_out: List[Optional[str]] = [None] * batch_size
+    results: List[list] = [[] for _ in range(batch_size)]
+    diverged: List[int] = []
+    for b in range(batch_size):
+        out = _replay_one(packed[:, b, :], root_cls[b], root_icls[b], vocab,
+                          avocab, beam, max_nodes, max_edges)
+        if out is _DIVERGED:
+            diverged.append(b)
+        else:
+            smiles_out[b] = out
+
+    if diverged:
+        res2, sm2 = decode_motif(model, params, vocab, avocab,
+                                 root_vecs[np.asarray(diverged)],
+                                 greedy=True, max_decode_step=max_decode_step,
+                                 beam=beam, max_nodes=max_nodes,
+                                 max_edges=max_edges, rng=rng,
+                                 log_steps=log_steps)
+        for j, b in enumerate(diverged):
+            smiles_out[b] = sm2[j]
+            results[b] = res2[j]
+    return results, smiles_out
+
+
 def sample_prior(model, params, vocab: PairVocab, avocab: Vocab,
                  batch_size: int, rng: Optional[np.random.Generator] = None,
                  latent_size: Optional[int] = None, **decode_kwargs):
@@ -523,6 +672,7 @@ def decode_motif(model, params, vocab: PairVocab, avocab: Vocab,
     dicts mirroring the reference's ``results`` structure
     (decoder.py:924-948, 993, 1035-1036, 1072)."""
     rng = rng or np.random.default_rng(0)
+    _check_no_attention(model)
     root_vecs = jnp.asarray(root_vecs)
     batch_size = root_vecs.shape[0]
     results = [[] for _ in range(batch_size)]

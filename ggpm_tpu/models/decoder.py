@@ -220,7 +220,11 @@ class MotifDecoder(nn.Module):
 
             def diter_body(_, st):
                 x = hmess_input[rows]
-                nei = tuple(gather_nd(s, bgraph)[rows] for s in st)
+                # compose the index FIRST: gathering the whole [M, nb, H]
+                # table then selecting ``rows`` made every scan step move
+                # M/B× more HBM than needed (measured: b240 ran slower than
+                # b20 in mols/sec before this)
+                nei = tuple(gather_nd(s, bgraph[rows]) for s in st)
                 new_rows = self.rnn.cell(x, nei)
                 st = tuple(
                     s.at[rows].set(jnp.where(valid[:, None], nr, s[rows])).at[0].set(0.0)
@@ -389,7 +393,7 @@ class MotifDecoder(nn.Module):
 
             def diter_body(_, st):
                 x = jnp.concatenate([emb_buf[src], pos_tab[rows]], axis=-1)
-                nei = tuple(gather_nd(s, bgraph)[rows] for s in st)
+                nei = tuple(gather_nd(s, bgraph[rows]) for s in st)
                 new_rows = self.rnn.cell(x, nei)
                 return tuple(
                     s.at[rows].set(jnp.where(valid[:, None], nr, s[rows]))
@@ -518,3 +522,118 @@ class MotifDecoder(nn.Module):
              scores, cls_k.astype(jnp.float32),
              icls_k.astype(jnp.float32)], axis=1)
         return state, packed
+
+    def dec_propose(self, root_vecs, vocab_mask, u_seq, beam: int,
+                    max_nb: int = 12):
+        """Device-RESIDENT speculative decode: the whole autoregressive loop
+        as ONE ``lax.scan`` — zero host round-trips until the single final
+        fetch.
+
+        The per-step decisions of the exact host loop (``decode_motif``)
+        split into (a) neural choices + structural tree bookkeeping and
+        (b) chemistry (assembly-candidate enumeration + validity).  (a) is
+        computable entirely on device: ``can_expand`` is purely structural
+        (in-degree < max_nb, inc_graph.IncBase.can_expand), edge positions
+        are in-degrees, and message inputs depend only on node motif labels
+        — which the device KNOWS if every expand step commits to the beam-0
+        motif.  This scan therefore speculates beam-0 assembly success at
+        every step and records the full decision trace; the host replays it
+        with real chemistry (``decode.decode_motif_turbo``) and falls back
+        to the exact path for the (rare, trained-model) samples where
+        assembly rejects beam-0 — exactly the reference's beam-retry /
+        forced-backtrack semantics (reference decoder.py:1037-1089).
+
+        Returns (packed [T, B, 2+3·beam] — the dec_step_fused layout per
+        step — plus root_cls [B], root_icls [B]).
+        """
+        from .decode import hier_topk
+        batch_size = root_vecs.shape[0]
+        T = u_seq.shape[0]
+        n_nodes = T + 2                       # every expand consumes a step
+        rows_per = T + 1                      # super-root edge + 1 row/step
+        n_rows = 1 + batch_size * rows_per
+        base = (1 + jnp.arange(batch_size) * rows_per).astype(jnp.int32)
+
+        init = self.root_vecs_to_hidden(root_vecs)
+        state = self.rnn.init_state(n_rows)
+        state = (state[0].at[base].set(init.astype(state[0].dtype)),) + \
+            tuple(state[1:])
+
+        # root motif (reference decoder.py:914-948): masked fine argmax
+        cls_l, icls_l = self.cls_logits(init, root_vecs)
+        root_cls = jnp.argmax(cls_l, axis=-1).astype(jnp.int32)
+        root_icls = jnp.argmax(icls_l + vocab_mask[root_cls],
+                               axis=-1).astype(jnp.int32)
+
+        ar = jnp.arange(batch_size)
+        clab = jnp.zeros((batch_size, n_nodes), jnp.int32).at[:, 0].set(root_cls)
+        in_deg = jnp.zeros((batch_size, n_nodes), jnp.int32).at[:, 0].set(1)
+        agraph = jnp.zeros((batch_size, n_nodes, max_nb),
+                           jnp.int32).at[:, 0, 0].set(base)
+        down_row = jnp.zeros((batch_size, n_nodes), jnp.int32).at[:, 0].set(base)
+        stack = jnp.zeros((batch_size, n_nodes), jnp.int32)
+        sp = jnp.ones((batch_size,), jnp.int32)
+        nxt = jnp.ones((batch_size,), jnp.int32)
+
+        def step(carry, inputs):
+            state, clab, in_deg, agraph, down_row, stack, sp, nxt = carry
+            t, u = inputs
+            active = sp > 0
+            v = stack[ar, jnp.maximum(sp - 1, 0)]
+            v_clab = clab[ar, v]
+            v_ag = agraph[ar, v]
+
+            topo_logits = self.dec_topo(state, v_clab, v_ag, root_vecs)
+            can_exp = in_deg[ar, v] < max_nb
+            choose = (jax.nn.sigmoid(topo_logits) > u) & can_exp & active
+
+            top = stack[ar, jnp.maximum(sp - 2, 0)]
+            bt_valid = active & (~choose) & (sp >= 2)
+            bt_pos = jnp.minimum(in_deg[ar, top], MAX_POS - 1)
+            bt_bg = jnp.where(v_ag == down_row[ar, v][:, None], 0, v_ag)
+
+            row_t = base + 1 + t
+            rows = jnp.where(choose | bt_valid, row_t, 0)
+            pos = jnp.where(choose, 0, bt_pos)
+            bg = jnp.where(choose[:, None], v_ag, bt_bg)
+            state = self.dec_update(state, rows, v_clab, pos, bg)
+            cls_s, icls_s = self.dec_cls(state, rows, root_vecs)
+            scores, cls_k, icls_k = hier_topk(cls_s, icls_s, vocab_mask, beam)
+            new_clab = cls_k[:, 0].astype(jnp.int32)
+
+            # expand bookkeeping (masked writes; non-choosing samples write
+            # their just-read value back — a no-op)
+            nn_i = jnp.minimum(nxt, n_nodes - 1)
+            clab = clab.at[ar, nn_i].set(
+                jnp.where(choose, new_clab, clab[ar, nn_i]))
+            down_row = down_row.at[ar, nn_i].set(
+                jnp.where(choose, row_t, down_row[ar, nn_i]))
+            agraph = agraph.at[ar, nn_i, 0].set(
+                jnp.where(choose, row_t, agraph[ar, nn_i, 0]))
+            in_deg = in_deg.at[ar, nn_i].set(
+                jnp.where(choose, 1, in_deg[ar, nn_i]))
+            sp_slot = jnp.minimum(sp, n_nodes - 1)
+            stack = stack.at[ar, sp_slot].set(
+                jnp.where(choose, nn_i, stack[ar, sp_slot]))
+            # backtrack bookkeeping: the closing edge joins top's agraph
+            # (host add_edge: agraph[j, in_degree(j)-1] = idx)
+            slot = jnp.minimum(in_deg[ar, top], max_nb - 1)
+            agraph = agraph.at[ar, top, slot].set(
+                jnp.where(bt_valid, row_t, agraph[ar, top, slot]))
+            in_deg = in_deg.at[ar, top].set(in_deg[ar, top] + bt_valid)
+
+            pop = active & (~choose)
+            sp = sp + choose.astype(jnp.int32) - pop.astype(jnp.int32)
+            nxt = nxt + choose.astype(jnp.int32)
+
+            packed = jnp.concatenate(
+                [topo_logits[:, None], choose.astype(jnp.float32)[:, None],
+                 scores, cls_k.astype(jnp.float32),
+                 icls_k.astype(jnp.float32)], axis=1)
+            return (state, clab, in_deg, agraph, down_row, stack, sp, nxt), \
+                packed
+
+        carry0 = (state, clab, in_deg, agraph, down_row, stack, sp, nxt)
+        xs = (jnp.arange(T, dtype=jnp.int32), u_seq)
+        _, packed = jax.lax.scan(step, carry0, xs)
+        return packed, root_cls, root_icls

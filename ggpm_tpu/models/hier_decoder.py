@@ -164,7 +164,9 @@ class HierDecoder(nn.Module):
         def sparse_update(rnn, state, rows, x, bg, n_iter):
             valid = (rows > 0)
             for _ in range(n_iter):
-                nei = tuple(gather_nd(s, bg)[rows] for s in state)
+                # compose the index first (gather [rows, nb, H], not the
+                # whole [M, nb, H] table) — see MotifDecoder._run_scan
+                nei = tuple(gather_nd(s, bg[rows]) for s in state)
                 new = rnn.cell(x, nei)
                 state = tuple(
                     s.at[rows].set(jnp.where(valid[..., None], nr, s[rows]))

@@ -205,14 +205,58 @@ class IncGraph(IncBase):
     def try_add_mol(self, batch_idx: int, ismiles: str, inter_label) -> bool:
         """Chemical-validity dry run (reference inc_graph.py:190-241).
 
-        The reference grafts the candidate onto the shared RWMol and reverts
-        on failure; a literal port of that mutate-and-rollback did the same
-        on the shared batch mol, and the rollback's ``remove_bond``/
-        ``remove_atom`` adjacency rebuilds (O(atoms+bonds) each, on a mol
-        holding the WHOLE batch) dominated decode wall time — 88% of the
-        steady-state decode profile.  Instead, build the merge on a
-        throwaway copy of just this sample's submol (≤ ~100 atoms) and
-        sanitize that; the shared mol is never touched, so no rollback."""
+        The reference grafts the candidate onto the shared RWMol, sanitizes,
+        and reverts on failure.  Both the literal mutate-and-rollback port
+        and the round-2 copy-merge-serialize-sanitize formulation paid
+        milliseconds per call (they dominated decode wall time).  The check
+        reduces EXACTLY to an incremental valence test: the sanitize this
+        dry-run runs is kekulize + aromaticity-perception + valence
+        (chem/api.py sanitize_in_place), and on a graft of a kekulized motif
+        onto a kekulized, already-valid partial molecule the first two
+        cannot fail (all bond orders are concrete; perception never fails) —
+        only atoms INCIDENT TO NEW BONDS can become over-valent.  So score
+        just those ~2-6 attachment atoms against the valence model, no copy,
+        no serialization (~300× less work per call; differential-tested
+        against the full-sanitize path in tests/test_decode.py)."""
+        emol = get_mol_shared(ismiles)
+        if emol is None:
+            return False
+        for x, y in inter_label:
+            if not atom_equal(self.mol.atoms[x], emol.atoms[y]):
+                return False
+
+        from ..chem.elements import max_valence
+        atom_map = {y: x for x, y in inter_label}   # motif idx -> shared-mol idx
+        extra: Dict[int, int] = {}                  # added bonded valence per existing atom
+        for b in emol.bonds:
+            m1 = atom_map.get(b.a1)
+            m2 = atom_map.get(b.a2)
+            if m1 is not None and m2 is not None:
+                if m1 == m2:
+                    return False
+                if self.mol.bond_between(m1, m2) is None:
+                    extra[m1] = extra.get(m1, 0) + b.order
+                    extra[m2] = extra.get(m2, 0) + b.order
+            elif m1 is not None:
+                extra[m1] = extra.get(m1, 0) + b.order
+            elif m2 is not None:
+                extra[m2] = extra.get(m2, 0) + b.order
+            # bonds between two NEW atoms replicate the motif's own (valid)
+            # internal valence — nothing to check
+        for idx, add in extra.items():
+            a = self.mol.atoms[idx]
+            if a.symbol == '*':
+                continue
+            bonded = self.mol.bonded_valence(idx) + add + (a.explicit_h or 0)
+            mv = max_valence(a.symbol, a.charge)
+            if mv != 0 and bonded > mv:
+                return False
+        return True
+
+    def try_add_mol_full(self, batch_idx: int, ismiles: str, inter_label) -> bool:
+        """Round-2 formulation (copy this sample's submol, graft, serialize,
+        native sanitize) — kept as the differential-test oracle for the
+        incremental ``try_add_mol``."""
         emol = get_mol_shared(ismiles)
         if emol is None:
             return False

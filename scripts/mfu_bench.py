@@ -8,11 +8,11 @@ regime: canonical (hidden 250) and MotifG2G_Large (hidden 700, latent 48,
 thesis §4.2.1) at batch 20 and large batch, in f32 and bf16, reporting
 
 * steady-state training molecules/sec,
-* analytic FLOPs per step from XLA's cost model
-  (``jit(step).lower(...).compile().cost_analysis()``),
-* MFU against the v5e single-chip bf16 peak (197 TFLOP/s; f32 matmuls run
-  on the MXU via multi-pass bf16, so the same denominator applies and f32
-  rows simply show the pass overhead).
+* analytic matmul FLOPs per step from the step jaxpr,
+* MFU against the v5e single-chip peak FOR THE RUN'S DTYPE: 197 TFLOP/s
+  bf16; f32 matmuls run as multi-pass bf16 on the MXU at ≈half the bf16
+  rate, so f32 rows score against 98.5 TFLOP/s (scoring them against the
+  bf16 peak understated f32 MFU ~2× — VERDICT r2 item).
 
 Writes runs/MFU.json and prints a table.
 """
@@ -25,7 +25,7 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
-V5E_PEAK_FLOPS = 197e12  # bf16, one chip
+V5E_PEAK_FLOPS = {'bfloat16': 197e12, 'float32': 98.5e12}  # one chip
 
 
 def count_matmul_flops(jaxpr) -> float:
@@ -178,11 +178,12 @@ def main():
         dt = time.time() - t0
         steps_sec = n_steps / dt
         mols_sec = steps_sec * bs
-        mfu = (flops * steps_sec / V5E_PEAK_FLOPS) if flops else None
+        peak = V5E_PEAK_FLOPS[dtype]
+        mfu = (flops * steps_sec / peak) if flops else None
         row = {'config': name, 'hidden': hidden, 'dtype': dtype, 'batch': bs,
                'steps_per_sec': round(steps_sec, 2),
                'mols_per_sec': round(mols_sec, 1),
-               'flops_per_step': flops,
+               'flops_per_step': flops, 'peak_flops': peak,
                'mfu': round(mfu, 4) if mfu is not None else None}
         rows.append(row)
         print(row, flush=True)
@@ -201,7 +202,7 @@ def main():
 
     os.makedirs(os.path.dirname(args.out) or '.', exist_ok=True)
     with open(args.out, 'w') as f:
-        json.dump({'peak_flops': V5E_PEAK_FLOPS, 'rows': rows}, f, indent=2)
+        json.dump({'peak_flops_by_dtype': V5E_PEAK_FLOPS, 'rows': rows}, f, indent=2)
     print(f'wrote {args.out}')
 
 
