@@ -30,6 +30,11 @@ def main(argv=None):
     parser.add_argument('--model-type', required=True)
     parser.add_argument('--data-csv', default=None,
                         help='tensorize this CSV instead of reading shards')
+    parser.add_argument('--n-devices', type=int, default=0,
+                        help='data-parallel training over an n-device mesh '
+                             '(0 = auto: all available devices if >1; 1 = '
+                             'force single-device). Each optimizer step '
+                             'consumes n batches, gradient-psum over ICI.')
     args = parser.parse_args(argv)
 
     configs = Configs(path=args.path_to_config)
@@ -57,12 +62,20 @@ def main(argv=None):
         lr=configs.get('lr', 1e-3), clip_norm=configs.get('clip_norm', 20.0),
         anneal_rate=configs.get('anneal_rate', 0.9),
         steps_per_epoch=steps_per_epoch)
+    import jax
+    n_dev = args.n_devices if args.n_devices > 0 else len(jax.devices())
+    mesh = None
+    if n_dev > 1:
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh(n_dev)
+        print(f'data-parallel over {n_dev} devices '
+              f'({mesh.devices.flat[0].platform})')
     trainer = Trainer(model, optimizer, vocab.mask,
                       beta=configs.get('beta', 0.1),
                       print_iter=configs.get('print_iter', 50),
                       save_dir=configs.save_dir,
                       save_iter=configs.get('save_iter', -1),
-                      seed=configs.get('seed', 1))
+                      seed=configs.get('seed', 1), mesh=mesh)
     params, opt_state = trainer.init(first)
     params, loaded = maybe_load_pretrained(
         params, configs, model, vocab, trainer._device_batch(first))

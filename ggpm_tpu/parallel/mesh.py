@@ -180,7 +180,26 @@ def make_gspmd_train_step(model, optimizer, mesh: Mesh, beta: float = 0.1,
         params = jax.tree.map(
             lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
             params, pspec)
-        opt_state = jax.tree.map(lambda x: jax.device_put(x, rep), opt_state)
+        # optimizer-state subtrees that mirror the param tree (Adam mu/nu)
+        # take the SAME shardings — otherwise TP-sharded params keep
+        # replicated moments (losing the TP memory win) and the first
+        # donated step reshards its outputs
+        ptree = jax.tree.structure(params)
+
+        def place_opt(tree):
+            if jax.tree.structure(tree) == ptree:
+                return jax.tree.map(
+                    lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                    tree, pspec)
+            if isinstance(tree, tuple) and hasattr(tree, '_fields'):
+                return type(tree)(*[place_opt(t) for t in tree])
+            if isinstance(tree, (list, tuple)):
+                return type(tree)(place_opt(t) for t in tree)
+            if isinstance(tree, dict):
+                return {k: place_opt(v) for k, v in tree.items()}
+            return jax.device_put(tree, rep)
+
+        opt_state = place_opt(opt_state)
         stacked = {
             k: (jax.device_put(v, rep) if k == 'vocab_mask'
                 else jax.tree.map(

@@ -214,7 +214,12 @@ class Trainer:
                  beta: float = 0.1, print_iter: int = 50,
                  save_dir: Optional[str] = None, save_iter: int = -1,
                  clip_break_count: int = 5, seed: int = 1,
-                 beta_warmup_steps: int = 0):
+                 beta_warmup_steps: int = 0, mesh=None):
+        """``mesh``: a 1-D ``jax.sharding.Mesh`` over a ``data`` axis turns
+        the Trainer data-parallel — each optimizer step consumes D
+        same-shape batches sharded across the mesh with a gradient psum
+        (ggpm_tpu.parallel.mesh.make_dp_train_step); params replicated.
+        Build one with ``ggpm_tpu.parallel.mesh.make_mesh(n)``."""
         self.model = model
         self.optimizer = optimizer
         self.vocab_mask = np.asarray(vocab_mask)
@@ -225,6 +230,9 @@ class Trainer:
         self.clip_break_count = clip_break_count
         self.rng = jax.random.PRNGKey(seed)
         self.beta_warmup_steps = beta_warmup_steps
+        self.mesh = mesh
+        self.n_shards = int(np.prod(mesh.devices.shape)) if mesh is not None \
+            else 1
         self.step_fn = make_train_step(model, optimizer, beta,
                                        beta_warmup_steps=beta_warmup_steps)
         self.eval_fn = make_eval_step(model, beta)
@@ -244,11 +252,40 @@ class Trainer:
     def train_step(self, params, opt_state, batch, step_idx=None):
         """One optimizer step with the PRNG key threaded on device (see
         make_train_step).  ``self.rng`` stays a device key throughout — no
-        per-step host split."""
+        per-step host split.  Advances ``total_step`` (same contract as
+        ``scan_steps``)."""
         idx = jnp.asarray(self.total_step if step_idx is None else step_idx,
                           dtype=jnp.float32)
         params, opt_state, metrics, aux, self.rng = self.step_fn(
             params, opt_state, batch, self.rng, idx)
+        self.total_step += 1
+        return params, opt_state, metrics, aux
+
+    def dp_step(self, params, opt_state, db_list):
+        """ONE data-parallel optimizer step over ``len(db_list) == D``
+        same-shape host batches: stack on a leading device axis, shard over
+        the mesh's ``data`` axis, gradient-psum inside
+        (parallel.mesh.make_dp_train_step).  This is the SAME code path
+        ``dryrun_multichip`` validates."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import make_dp_train_step
+        assert self.mesh is not None, 'Trainer built without a mesh'
+        if getattr(self, '_dp_fn', None) is None:
+            self._dp_fn = make_dp_train_step(self.model, self.optimizer,
+                                             self.mesh, self.beta)
+            self._mask_rep = jax.device_put(
+                self.vocab_mask, NamedSharding(self.mesh, P()))
+        dev_spec = NamedSharding(self.mesh, P('data'))
+        stacked = {
+            k: jax.tree.map(
+                lambda *xs: jax.device_put(np.stack(xs), dev_spec),
+                *[db[k] for db in db_list])
+            for k in db_list[0] if k != 'vocab_mask'}
+        stacked['vocab_mask'] = self._mask_rep
+        self.rng, r = jax.random.split(self.rng)
+        params, opt_state, metrics, aux = self._dp_fn(
+            params, opt_state, stacked, r)
+        self.total_step += 1
         return params, opt_state, metrics, aux
 
     def scan_steps(self, params, opt_state, stacked_batch):
@@ -269,6 +306,10 @@ class Trainer:
     def _device_batch(self, mb) -> Dict:
         if not isinstance(mb, dict):
             mb = to_model_batch(mb, self.vocab_mask, pad=False)
+        if self.mesh is not None:
+            # data-parallel path: keep batches host-side; dp_step stacks D
+            # of them and device_puts the stack with the mesh sharding
+            return {k: v for k, v in mb.items() if k != 'vocab_mask'}
         # the vocab mask is large (hvocab × ivocab, ~84MB at full scale) and
         # constant: upload once and share the device buffer across steps
         if getattr(self, '_mask_dev', None) is None:
@@ -303,10 +344,16 @@ class Trainer:
 
         def run(params, opt_state, db_list):
             nonlocal last_sync
-            if len(db_list) == 1:
+            if self.mesh is not None:
+                # fill a short final group by cycling (repeats get extra
+                # gradient weight in that one step — standard last-batch fill)
+                while len(db_list) < self.n_shards:
+                    db_list = db_list + db_list[:self.n_shards - len(db_list)]
+                params, opt_state, metrics, aux = self.dp_step(
+                    params, opt_state, db_list[:self.n_shards])
+            elif len(db_list) == 1:
                 params, opt_state, metrics, aux = self.train_step(
                     params, opt_state, db_list[0])
-                self.total_step += 1
             else:
                 params, opt_state, metrics, aux = self.scan_steps(
                     params, opt_state, stack_batches(db_list))
