@@ -120,24 +120,53 @@ def main():
     mols_per_sec = n_mols / elapsed
 
     # ---- decode throughput (autoregressive generation from the prior) ----
-    # one fused device call (= one tunnel round-trip) per step, so decode
-    # throughput scales with batch size; B=120 is the quality-run regime
+    # Representative regime (VERDICT r2 item 8): decode from the TRAINED
+    # HOPV checkpoint shipped in runs/, full 150-step budget, B=120 — the
+    # number a quality-run user sees.  The device-resident turbo path
+    # (dec_propose lax.scan + pinned-continuation rounds) pays one device
+    # call per ROUND, not per step.
     import numpy as np
-    from ggpm_tpu.models.decode import decode_motif
-    # 40-step cap bounds worst-case host chemistry on a lightly-trained
-    # model (an untrained decoder never emits backtracks, so molecules grow
-    # monotonically and per-step chem cost grows with them)
-    dec_b, dec_steps = 120, 40
+    from ggpm_tpu.models.decode import decode_best
+    dec_b, dec_steps = 120, 150
+    dec_model, dec_params, dec_vocab = model, params, vocab
+    ckpt_path = os.path.join(os.path.dirname(__file__),
+                             'runs/QUALITY_hopv.json.ckpt')
+    if os.path.exists(ckpt_path):
+        import jax.numpy as jnp
+        from ggpm_tpu.data.batching import to_model_batch
+        from ggpm_tpu.data.vocab_extract import load_vocab_file
+        from ggpm_tpu.models.vae import OPVNet
+        from ggpm_tpu.train import checkpoint as ckpt_mod
+        from ggpm_tpu.train.loop import init_params_on_cpu
+        dec_vocab, _ = load_vocab_file(ckpt_path.replace('.ckpt',
+                                                         '.vocab.txt'))
+        dcfg = ModelConfig(
+            hvocab_size=dec_vocab.size()[0], ivocab_size=dec_vocab.size()[1],
+            rnn_type='LSTM', hidden_size=250, embed_size=250, latent_size=24,
+            linear_hidden_size=128, depthT=20, depthG=20, diterT=1, diterG=3,
+            dropout=0.0)
+        dec_model = OPVNet.get_model('prop-opt')(cfg=dcfg)
+        mb0 = pad_batch(tensorize(data[:batch_size], dec_vocab,
+                                  common_atom_vocab))
+        dec_params = init_params_on_cpu(dec_model,
+                                        jax.tree.map(jnp.asarray,
+                                                     to_model_batch(
+                                                         mb0, dec_vocab.mask,
+                                                         pad=False)),
+                                        jax.random.PRNGKey(0), 0.1)
+        dec_params = ckpt_mod.load_params(dec_params, ckpt_path)
+        _progress('loaded trained HOPV checkpoint for decode bench')
     z = np.random.default_rng(7).standard_normal(
-        (dec_b, cfg.latent_size)).astype(np.float32)
+        (dec_b, 24 if os.path.exists(ckpt_path) else cfg.latent_size)
+    ).astype(np.float32)
     _progress('decode warmup / compile')
-    decode_motif(model, params, vocab, common_atom_vocab, z[:dec_b],
-                 greedy=True, max_decode_step=dec_steps, log_steps=False)
+    decode_best(dec_model, dec_params, dec_vocab, common_atom_vocab, z,
+                greedy=True, max_decode_step=dec_steps, log_steps=False)
     _progress('timed decode')
     t0 = time.time()
-    _, smiles = decode_motif(model, params, vocab, common_atom_vocab, z,
-                             greedy=True, max_decode_step=dec_steps,
-                             log_steps=False)
+    _, smiles = decode_best(dec_model, dec_params, dec_vocab,
+                            common_atom_vocab, z, greedy=True,
+                            max_decode_step=dec_steps, log_steps=False)
     dec_elapsed = time.time() - t0
     decode_mols_per_sec = dec_b / dec_elapsed
 

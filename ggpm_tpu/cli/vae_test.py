@@ -15,7 +15,7 @@ from ..data.batching import pad_batch, to_model_batch
 from ..data.dataset import MoleculeDataset, prune_to_vocab
 from ..graph.mol_graph import tensorize
 from ..graph.vocab import common_atom_vocab
-from ..models.decode import decode_motif
+from ..models.decode import decode_best
 from ..train.loop import Trainer
 from ..train.optim import make_optimizer
 from .common import read_csv_data, setup_model
@@ -60,10 +60,10 @@ def main(argv=None):
                 z, _ = model.apply(
                     params, batch['tree'],
                     method=lambda m, tree: m.encode_latent(tree, perturb=False))
-                _, smiles = decode_motif(model, params, vocab,
-                                         common_atom_vocab, np.asarray(z),
-                                         greedy=True, max_decode_step=150,
-                                         log_steps=False)
+                _, smiles = decode_best(model, params, vocab,
+                                        common_atom_vocab, np.asarray(z),
+                                        greedy=True, max_decode_step=150,
+                                        log_steps=False)
                 for org, dec in zip(mb.smiles, smiles):
                     print(f'org {org} dec {dec}')
     return params

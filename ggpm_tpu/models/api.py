@@ -17,7 +17,7 @@ import numpy as np
 
 from ..data.batching import to_model_batch
 from ..graph.vocab import PairVocab, common_atom_vocab
-from .decode import decode_hier, decode_motif, sample_prior
+from .decode import decode_best, decode_hier, decode_motif, sample_prior
 
 
 def _is_hier(model) -> bool:
@@ -51,9 +51,8 @@ def reconstruct(model, params, mb, vocab: PairVocab, avocab=common_atom_vocab,
         props = model.apply(params, z,
                             method=lambda m, zz: m.predict_properties(zz))
         props = (np.asarray(props[0]), np.asarray(props[1]))
-    decode_fn = decode_hier if _is_hier(model) else decode_motif
-    out = decode_fn(model, params, vocab, avocab, np.asarray(z),
-                    greedy=greedy, max_decode_step=max_decode_step, **kwargs)
+    out = decode_best(model, params, vocab, avocab, np.asarray(z),
+                      greedy=greedy, max_decode_step=max_decode_step, **kwargs)
     return props, out
 
 
@@ -96,10 +95,9 @@ def reconstruct_enum_roots(model, params, smiles_list, vocab: PairVocab,
         batch = jax.tree.map(jnp.asarray,
                              to_model_batch(mb, vocab.mask, pad=False))
         z, _ = encode(model, params, batch, perturb=False)
-        decode_fn = decode_hier if _is_hier(model) else decode_motif
-        _, decoded = decode_fn(model, params, vocab, avocab, np.asarray(z),
-                               greedy=True, max_decode_step=max_decode_step,
-                               log_steps=False, **kwargs)
+        _, decoded = decode_best(model, params, vocab, avocab, np.asarray(z),
+                                 greedy=True, max_decode_step=max_decode_step,
+                                 log_steps=False, **kwargs)
         target = canon_smiles(smiles)
         best, matched = None, False
         for d in decoded:
@@ -126,7 +124,6 @@ def optimize_recs(model, params, mb, vocab: PairVocab,
     z_opt = opt.optimize(z, mb.homos, mb.lumos)
     props = model.apply(params, z_opt,
                         method=lambda m, zz: m.predict_properties(zz))
-    decode_fn = decode_hier if _is_hier(model) else decode_motif
-    out = decode_fn(model, params, vocab, avocab, np.asarray(z_opt),
-                    greedy=True, max_decode_step=150)
+    out = decode_best(model, params, vocab, avocab, np.asarray(z_opt),
+                      greedy=True, max_decode_step=150)
     return (np.asarray(props[0]), np.asarray(props[1])), out

@@ -71,7 +71,8 @@ def _try_assemble(tree, graph, vocab, b, new_node, fa_node, cls_beam,
     """Beam-retry motif assembly with chemical-validity rollback (reference
     decoder.py:1037-1077).  ``score_cands`` orders multi-candidate sets
     (None → stable enumeration order, the motif decoder's degenerate case);
-    returns True on success."""
+    returns the committed ``(clab, ilab)`` on success (truthy), None on
+    total failure."""
     try:
         for kk in cls_beam:
             clab, ilab = int(cls_topk_row[kk]), int(icls_topk_row[kk])
@@ -104,10 +105,10 @@ def _try_assemble(tree, graph, vocab, b, new_node, fa_node, cls_beam,
                     if log_entry is not None:
                         log_entry['Attaching Fragment'] = (
                             ismiles, attach_points, pairs)
-                    return True
+                    return (clab, ilab)
     except Exception:
         pass
-    return False
+    return None
 
 
 _KERNEL_CACHE: "OrderedDict" = None
@@ -211,12 +212,13 @@ class MotifDecodeKernel:
         self.step_fused = lambda *a: _step_fused(self.params, *a, self.mask)
         self._topk = jax.jit(lambda c, i, m: hier_topk(c, i, m, beam))
 
-        def propose(params, root_vecs, mask, u_seq):
+        def propose(params, root_vecs, mask, u_seq, pin_op, pin_clab):
             return model.apply(
-                params, root_vecs, mask, u_seq, beam,
+                params, root_vecs, mask, u_seq, pin_op, pin_clab, beam,
                 method=lambda m, *a: m._decoder().dec_propose(*a))
         _propose = jax.jit(propose)
-        self.propose = lambda rv, u: _propose(self.params, rv, self.mask, u)
+        self.propose = lambda rv, u, po, pc: \
+            _propose(self.params, rv, self.mask, u, po, pc)
 
     def topk(self, cls_scores, icls_scores):
         return self._topk(cls_scores, icls_scores, self.mask)
@@ -531,19 +533,23 @@ def decode_hier(model, params, vocab: PairVocab, avocab: Vocab,
     return results, smiles_out
 
 
-_DIVERGED = object()
+def _replay_pinned(trace_b, root_cls_b, root_icls_b, pins, vocab: PairVocab,
+                   avocab: Vocab, beam: int, max_nodes: int, max_edges: int,
+                   max_nb: int = 12):
+    """Replay one sample's device decision trace with real chemistry,
+    honouring a resolved-prefix ``pins`` list of ``(op, clab, ilab)``
+    (op 1 = expand committing (clab, ilab), 2 = backtrack, 3 = expand then
+    forced backtrack — see ``MotifDecoder.dec_propose``).
 
-
-def _replay_one(trace_b, root_cls_b, root_icls_b, vocab: PairVocab,
-                avocab: Vocab, beam: int, max_nodes: int, max_edges: int,
-                max_nb: int = 12):
-    """Replay one sample's device decision trace with real chemistry.
-
-    Follows the recorded expand/backtrack choices and commits the beam-0
-    motif at every expand (the device's speculation); returns the decoded
-    SMILES, or ``_DIVERGED`` when assembly rejects beam-0 anywhere — the
-    exact path (beam retry / forced backtrack, reference
-    decoder.py:1037-1089) must then re-decode this sample."""
+    Free (unpinned) steps follow the trace and commit the device's beam-0
+    speculation.  Returns one of
+      ``('done', smiles)``       — replay completed;
+      ``('diverge', new_pins)``  — chemistry rejected beam-0 at some step;
+        the divergence is resolved the exact path's way (beam retry then
+        forced backtrack, reference decoder.py:1037-1089) and recorded as
+        the last pin — re-enter the device with ``new_pins``;
+      ``('fail', None)``         — a pinned step failed to re-execute
+        (should not happen; caller falls back to the exact path)."""
     tree = IncTree(1, max_nodes=max_nodes, max_edges=max_edges, max_nb=max_nb)
     graph = IncGraph(avocab, 1, max_nodes=max_nodes, max_edges=max_edges + 100)
     stack: List[int] = []
@@ -557,13 +563,45 @@ def _replay_one(trace_b, root_cls_b, root_icls_b, vocab: PairVocab,
         new_atoms, new_bonds, attached = graph.add_mol(
             0, vocab.get_ismiles(ilab), [], 0)
     except Exception:
-        return _DIVERGED
+        # ungraftable root fragment: the reference has no root retry either
+        # (decoder.py:936-948 would raise) — yield no molecule
+        return 'done', None
     tree.register_cgraph(root_idx, new_atoms, new_bonds, attached)
 
     T = trace_b.shape[0]
+    new_pins: List[tuple] = []
     for t in range(T):
         if not stack:
             break
+        op, pclab, pilab = pins[t] if t < len(pins) else (0, 0, 0)
+        if op == 2:                                   # pinned backtrack
+            child = stack.pop()
+            if stack:
+                top = stack[-1]
+                tree.add_edge(child, top, (child, top, tree.in_degree(top)))
+            new_pins.append((2, 0, 0))
+            continue
+        if op == 3:                                   # pinned forced backtrack
+            parent = stack[-1]
+            new_node = tree.add_node((pclab, pilab))
+            tree.add_edge(parent, new_node, (parent, new_node, 0))
+            stack.append(new_node)
+            _forced_backtrack(tree, [stack], 0)
+            new_pins.append((3, pclab, pilab))
+            continue
+        if op == 1:                                   # pinned expand
+            parent = stack[-1]
+            new_node = tree.add_node()
+            tree.add_edge(parent, new_node, (parent, new_node, 0))
+            stack.append(new_node)
+            ok = _try_assemble(tree, graph, vocab, 0, new_node, parent, [0],
+                               np.array([pclab]), np.array([pilab]),
+                               None, None)
+            if not ok:
+                return 'fail', None
+            new_pins.append((1, pclab, pilab))
+            continue
+        # free step: follow the trace
         choose = trace_b[t, 1] > 0.5
         if choose:
             parent = stack[-1]
@@ -574,15 +612,27 @@ def _replay_one(trace_b, root_cls_b, root_icls_b, vocab: PairVocab,
             icls_topk = trace_b[t, 2 + 2 * beam:2 + 3 * beam].astype(np.int32)
             ok = _try_assemble(tree, graph, vocab, 0, new_node, parent,
                                [0], cls_topk, icls_topk, None, None)
-            if not ok:
-                return _DIVERGED
+            if ok:
+                new_pins.append((1, int(cls_topk[0]), int(icls_topk[0])))
+                continue
+            # divergence: resolve it as the exact path would, pin, re-enter
+            ok = _try_assemble(tree, graph, vocab, 0, new_node, parent,
+                               range(1, beam), cls_topk, icls_topk,
+                               None, None)
+            if ok:
+                new_pins.append((1, int(ok[0]), int(ok[1])))
+            else:
+                _forced_backtrack(tree, [stack], 0)
+                new_pins.append((3, int(cls_topk[0]), int(icls_topk[0])))
+            return 'diverge', new_pins
         else:
             child = stack.pop()
             if stack:
                 top = stack[-1]
                 tree.add_edge(child, top, (child, top, tree.in_degree(top)))
+            new_pins.append((2, 0, 0))
     smiles = graph.get_smiles()
-    return smiles[0] if smiles else None
+    return 'done', (smiles[0] if smiles else None)
 
 
 def decode_motif_turbo(model, params, vocab: PairVocab, avocab: Vocab,
@@ -590,17 +640,21 @@ def decode_motif_turbo(model, params, vocab: PairVocab, avocab: Vocab,
                        max_decode_step: int = 150, beam: int = 5,
                        max_nodes: int = 400, max_edges: int = 500,
                        rng: Optional[np.random.Generator] = None,
-                       log_steps: bool = False):
+                       log_steps: bool = False, max_rounds: int = 16):
     """Device-resident speculative decode (motif family).
 
     ONE device call runs the whole autoregressive loop as a ``lax.scan``
     (``MotifDecoder.dec_propose``) and ONE fetch brings back the full
-    decision trace; the host replays it with real chemistry.  Samples whose
-    assembly rejects the speculated beam-0 motif anywhere (rare on trained
-    models — measured ~70-90% of molecules replay clean) are re-decoded by
-    the exact host-interleaved path, preserving ``decode_motif`` semantics
-    bit-for-bit.  Stochastic decoding keeps the exact path (its candidate
-    shuffle consumes host RNG per step).
+    decision trace; the host replays it with real chemistry.  Samples where
+    chemistry rejects the speculated beam-0 motif re-enter the next ROUND
+    with their executed prefix pinned (the divergence resolved the exact
+    path's way — beam retry or forced backtrack, reference
+    decoder.py:1037-1089); each round resolves at least one further
+    divergence per unresolved sample, so the loop pays one device
+    call + one fetch per round instead of one per decode step.  Trained
+    models replay mostly clean (measured ~70-90% of molecules in round 0).
+    Stochastic decoding keeps the exact path (its candidate shuffle
+    consumes host RNG per step).
 
     Returns (results, smiles) like ``decode_motif``; per-step logs are only
     produced for fallback samples (``log_steps`` applies there)."""
@@ -612,36 +666,77 @@ def decode_motif_turbo(model, params, vocab: PairVocab, avocab: Vocab,
     _check_no_attention(model)
     root_vecs = np.asarray(root_vecs)
     batch_size = root_vecs.shape[0]
+    T = max_decode_step
     kern = _get_kernel(MotifDecodeKernel, model, params, vocab.mask, beam)
 
-    u = jnp.full((max_decode_step, batch_size), 0.5, dtype=jnp.float32)
-    packed, root_cls, root_icls = kern.propose(jnp.asarray(root_vecs), u)
-    packed = np.asarray(packed)          # ONE host round-trip for the trace
-    root_cls = np.asarray(root_cls)
-    root_icls = np.asarray(root_icls)
+    rv = jnp.asarray(root_vecs)
+    u = jnp.full((T, batch_size), 0.5, dtype=jnp.float32)
+    pin_op = np.zeros((T, batch_size), dtype=np.int32)
+    pin_clab = np.zeros((T, batch_size), dtype=np.int32)
+    pins: List[List[tuple]] = [[] for _ in range(batch_size)]
 
     smiles_out: List[Optional[str]] = [None] * batch_size
     results: List[list] = [[] for _ in range(batch_size)]
-    diverged: List[int] = []
-    for b in range(batch_size):
-        out = _replay_one(packed[:, b, :], root_cls[b], root_icls[b], vocab,
-                          avocab, beam, max_nodes, max_edges)
-        if out is _DIVERGED:
-            diverged.append(b)
-        else:
-            smiles_out[b] = out
+    pending = list(range(batch_size))
+    failed: List[int] = []
 
-    if diverged:
+    for _ in range(max_rounds):
+        packed, root_cls, root_icls = kern.propose(
+            rv, u, jnp.asarray(pin_op), jnp.asarray(pin_clab))
+        packed = np.asarray(packed)      # ONE host round-trip per round
+        root_cls = np.asarray(root_cls)
+        root_icls = np.asarray(root_icls)
+
+        still = []
+        for b in pending:
+            status, out = _replay_pinned(
+                packed[:, b, :], root_cls[b], root_icls[b], pins[b], vocab,
+                avocab, beam, max_nodes, max_edges)
+            if status == 'done':
+                smiles_out[b] = out
+            elif status == 'diverge':
+                pins[b] = out
+                for t, (op, clab, _) in enumerate(out):
+                    pin_op[t, b] = op
+                    pin_clab[t, b] = clab
+                still.append(b)
+            else:                         # 'fail' — safety net
+                failed.append(b)
+        pending = still
+        if not pending:
+            break
+
+    leftovers = pending + failed
+    if leftovers:
+        # round cap hit or a pinned step failed to re-execute: finish these
+        # samples on the exact host-interleaved path
         res2, sm2 = decode_motif(model, params, vocab, avocab,
-                                 root_vecs[np.asarray(diverged)],
+                                 root_vecs[np.asarray(leftovers)],
                                  greedy=True, max_decode_step=max_decode_step,
                                  beam=beam, max_nodes=max_nodes,
                                  max_edges=max_edges, rng=rng,
                                  log_steps=log_steps)
-        for j, b in enumerate(diverged):
+        for j, b in enumerate(leftovers):
             smiles_out[b] = sm2[j]
             results[b] = res2[j]
     return results, smiles_out
+
+
+def decode_best(model, params, vocab: PairVocab, avocab: Vocab,
+                root_vecs: np.ndarray, greedy: bool = True,
+                log_steps: bool = False, **kwargs):
+    """Fastest semantics-preserving decode for the model family: the
+    device-resident turbo path for greedy motif decoding without per-step
+    logs (per-step logs require the host-interleaved loop), the exact path
+    otherwise."""
+    if type(model).__name__.startswith('Hier'):
+        return decode_hier(model, params, vocab, avocab, root_vecs,
+                           greedy=greedy, log_steps=log_steps, **kwargs)
+    if greedy and not log_steps:
+        return decode_motif_turbo(model, params, vocab, avocab, root_vecs,
+                                  greedy=True, **kwargs)
+    return decode_motif(model, params, vocab, avocab, root_vecs,
+                        greedy=greedy, log_steps=log_steps, **kwargs)
 
 
 def sample_prior(model, params, vocab: PairVocab, avocab: Vocab,
@@ -654,10 +749,8 @@ def sample_prior(model, params, vocab: PairVocab, avocab: Vocab,
     if latent_size is None:
         latent_size = model.cfg.latent_size
     z = rng.standard_normal((batch_size, latent_size)).astype(np.float32)
-    decode_fn = decode_hier if type(model).__name__.startswith('Hier') \
-        else decode_motif
-    return decode_fn(model, params, vocab, avocab, z, greedy=True,
-                     **decode_kwargs)
+    return decode_best(model, params, vocab, avocab, z, greedy=True,
+                       **decode_kwargs)
 
 
 def decode_motif(model, params, vocab: PairVocab, avocab: Vocab,

@@ -523,8 +523,8 @@ class MotifDecoder(nn.Module):
              icls_k.astype(jnp.float32)], axis=1)
         return state, packed
 
-    def dec_propose(self, root_vecs, vocab_mask, u_seq, beam: int,
-                    max_nb: int = 12):
+    def dec_propose(self, root_vecs, vocab_mask, u_seq, pin_op, pin_clab,
+                    beam: int, max_nb: int = 12):
         """Device-RESIDENT speculative decode: the whole autoregressive loop
         as ONE ``lax.scan`` — zero host round-trips until the single final
         fetch.
@@ -538,10 +538,17 @@ class MotifDecoder(nn.Module):
         — which the device KNOWS if every expand step commits to the beam-0
         motif.  This scan therefore speculates beam-0 assembly success at
         every step and records the full decision trace; the host replays it
-        with real chemistry (``decode.decode_motif_turbo``) and falls back
-        to the exact path for the (rare, trained-model) samples where
-        assembly rejects beam-0 — exactly the reference's beam-retry /
-        forced-backtrack semantics (reference decoder.py:1037-1089).
+        with real chemistry (``decode.decode_motif_turbo``).
+
+        Samples where chemistry rejects beam-0 re-enter with their executed
+        prefix PINNED (``pin_op``/``pin_clab``, shape [T, B]): op 0 = free
+        speculation, 1 = expand committing ``pin_clab`` as the new node's
+        motif, 2 = backtrack, 3 = expand-then-forced-backtrack (the exact
+        path's assembly total failure, reference decoder.py:1079-1089 —
+        message computed, node and parent popped, the closing edges carry
+        zero messages so only in-degrees advance).  Each round resolves at
+        least one divergence per sample, so the host round loop terminates
+        without ever paying a per-step round-trip.
 
         Returns (packed [T, B, 2+3·beam] — the dec_step_fused layout per
         step — plus root_cls [B], root_icls [B]).
@@ -577,7 +584,7 @@ class MotifDecoder(nn.Module):
 
         def step(carry, inputs):
             state, clab, in_deg, agraph, down_row, stack, sp, nxt = carry
-            t, u = inputs
+            t, u, p_op, p_clab = inputs
             active = sp > 0
             v = stack[ar, jnp.maximum(sp - 1, 0)]
             v_clab = clab[ar, v]
@@ -585,7 +592,12 @@ class MotifDecoder(nn.Module):
 
             topo_logits = self.dec_topo(state, v_clab, v_ag, root_vecs)
             can_exp = in_deg[ar, v] < max_nb
-            choose = (jax.nn.sigmoid(topo_logits) > u) & can_exp & active
+            spec = (jax.nn.sigmoid(topo_logits) > u) & can_exp
+            free = p_op == 0
+            forced = (p_op == 3) & active
+            # choose = "compute an expand message this step" (ops 1 and 3
+            # both expanded on the host; op 3's node is then force-popped)
+            choose = jnp.where(free, spec, (p_op == 1) | (p_op == 3)) & active
 
             top = stack[ar, jnp.maximum(sp - 2, 0)]
             bt_valid = active & (~choose) & (sp >= 2)
@@ -599,7 +611,9 @@ class MotifDecoder(nn.Module):
             state = self.dec_update(state, rows, v_clab, pos, bg)
             cls_s, icls_s = self.dec_cls(state, rows, root_vecs)
             scores, cls_k, icls_k = hier_topk(cls_s, icls_s, vocab_mask, beam)
-            new_clab = cls_k[:, 0].astype(jnp.int32)
+            # pinned expands commit the host's resolved motif, not beam-0
+            new_clab = jnp.where(p_op == 1, p_clab,
+                                 cls_k[:, 0].astype(jnp.int32))
 
             # expand bookkeeping (masked writes; non-choosing samples write
             # their just-read value back — a no-op)
@@ -620,10 +634,21 @@ class MotifDecoder(nn.Module):
             slot = jnp.minimum(in_deg[ar, top], max_nb - 1)
             agraph = agraph.at[ar, top, slot].set(
                 jnp.where(bt_valid, row_t, agraph[ar, top, slot]))
-            in_deg = in_deg.at[ar, top].set(in_deg[ar, top] + bt_valid)
+            # forced backtrack (op 3): host pops the new node AND its parent,
+            # closing edges new→v and v→top (reference decoder.py:1079-1089).
+            # Those edges never receive device messages (rows stay zero), so
+            # only the in-degrees of v and top advance; agraph slots keep
+            # their zero (= padding row) entries.
+            close_top = bt_valid | (forced & (sp >= 2))
+            in_deg = in_deg.at[ar, top].set(
+                in_deg[ar, top] + close_top.astype(jnp.int32))
+            in_deg = in_deg.at[ar, v].set(
+                in_deg[ar, v] + forced.astype(jnp.int32))
 
+            push = choose & (~forced)
             pop = active & (~choose)
-            sp = sp + choose.astype(jnp.int32) - pop.astype(jnp.int32)
+            sp = sp + push.astype(jnp.int32) - pop.astype(jnp.int32) \
+                - forced.astype(jnp.int32)
             nxt = nxt + choose.astype(jnp.int32)
 
             packed = jnp.concatenate(
@@ -634,6 +659,6 @@ class MotifDecoder(nn.Module):
                 packed
 
         carry0 = (state, clab, in_deg, agraph, down_row, stack, sp, nxt)
-        xs = (jnp.arange(T, dtype=jnp.int32), u_seq)
+        xs = (jnp.arange(T, dtype=jnp.int32), u_seq, pin_op, pin_clab)
         _, packed = jax.lax.scan(step, carry0, xs)
         return packed, root_cls, root_icls

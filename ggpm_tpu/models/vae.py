@@ -109,6 +109,13 @@ class PropertyVAE(nn.Module):
             compute_dtype=_dtype(c), E_c=ec, E_i=ei)
         self.R_mean = nn.Dense(c.latent_size)
         self.R_var = nn.Dense(c.latent_size)
+        if c.use_attention:
+            # dedicated projection for the attention memory: reusing R_mean
+            # would let attention gradients flow into the posterior-mean head
+            # (ADVICE r2) — the reference keeps them separate by passing raw
+            # source vecs (its attention path is unusable as written,
+            # decoder.py:136-164; see PARITY.md)
+            self.A_mem = nn.Dense(c.latent_size)
 
     def _decoder(self):
         return self.decoder
@@ -149,9 +156,9 @@ class PropertyVAE(nn.Module):
         root, node = self.encoder(tree, deterministic)
         z, kl = self.rsample(root, rng, perturb_z)
         # attention memory: encoder node hiddens projected into latent space
-        # by the same map that produces the root latent (config flag
-        # ``use_attention``, reference decoder.py:28,62-65,124-134)
-        src_mem = self.R_mean(node) if self.cfg.use_attention else None
+        # by a dedicated head (config flag ``use_attention``, reference
+        # decoder.py:28,62-65,124-134)
+        src_mem = self.A_mem(node) if self.cfg.use_attention else None
         loss, metrics = self.decoder(tree, plan, z, batch['vocab_mask'],
                                      deterministic, src_mem=src_mem)
         total = loss + beta * kl
@@ -202,7 +209,7 @@ class PropOptVAE(nn.Module):
 
         homo_loss, lumo_loss, _, _ = self.property_loss(
             z, batch['homos'], batch['lumos'], deterministic)
-        src_mem = self.vae.R_mean(node) if self.cfg.use_attention else None
+        src_mem = self.vae.A_mem(node) if self.cfg.use_attention else None
         recon_loss, metrics = self.vae.decoder(tree, plan, z,
                                                batch['vocab_mask'],
                                                deterministic, src_mem=src_mem)
@@ -257,6 +264,9 @@ class HierPropertyVAE(nn.Module):
             use_attention=c.use_attention, E_c=ec, E_i=ei)
         self.R_mean = nn.Dense(c.latent_size)
         self.R_var = nn.Dense(c.latent_size)
+        if c.use_attention:
+            # dedicated attention-memory projection (see PropertyVAE.setup)
+            self.A_mem = nn.Dense(c.latent_size)
 
     def _decoder(self):
         return self.decoder
@@ -289,7 +299,7 @@ class HierPropertyVAE(nn.Module):
         if self.cfg.use_attention:
             # motif-level memory for topo/cls, atom-level for assm
             # (src_tree_vecs / src_graph_vecs, reference decoder.py:136-164)
-            src_tree_mem, src_graph_mem = self.R_mean(hnode), self.R_mean(hatom)
+            src_tree_mem, src_graph_mem = self.A_mem(hnode), self.A_mem(hatom)
         else:
             src_tree_mem = src_graph_mem = None
         loss, metrics = self.decoder(tree, graph, plan, z,
@@ -351,8 +361,8 @@ class HierPropOptVAE(nn.Module):
         homo_loss, lumo_loss, _, _ = self.property_loss(
             z, batch['homos'], batch['lumos'], deterministic)
         if self.cfg.use_attention:
-            src_tree_mem = self.hier.R_mean(hnode)
-            src_graph_mem = self.hier.R_mean(hatom)
+            src_tree_mem = self.hier.A_mem(hnode)
+            src_graph_mem = self.hier.A_mem(hatom)
         else:
             src_tree_mem = src_graph_mem = None
         recon_loss, metrics = self.hier.decoder(

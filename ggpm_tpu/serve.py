@@ -32,7 +32,7 @@ from .data.batching import to_model_batch
 from .graph.mol_graph import tensorize
 from .graph.vocab import PairVocab, common_atom_vocab
 from .models.api import encode as _encode
-from .models.decode import decode_hier, decode_motif, sample_prior
+from .models.decode import decode_best, sample_prior
 
 
 class GgpmServer:
@@ -44,7 +44,7 @@ class GgpmServer:
         self.avocab = avocab
         self.max_decode_step = max_decode_step
         self.is_hier = type(model).__name__.startswith('Hier')
-        self.decode_fn = decode_hier if self.is_hier else decode_motif
+        self.decode_fn = decode_best
         self.lock = threading.Lock()   # decode kernels share device buffers
         self._httpd: Optional[ThreadingHTTPServer] = None
 

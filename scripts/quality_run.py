@@ -100,7 +100,7 @@ def main():
                       diterT=1, diterG=3, dropout=0.0,
                       remat=is_hier)  # 3-level scan carries OOM without remat
     model = OPVNet.get_model(args.model)(cfg=cfg)
-    decode_fn = decode_hier if is_hier else decode_motif
+    from ggpm_tpu.models.decode import decode_best as decode_fn
     opt = make_optimizer(lr=1e-3, clip_norm=20.0, anneal_rate=0.995,
                          steps_per_epoch=len(batches))
     trainer = Trainer(model, opt, vocab.mask, beta=0.1, print_iter=500)

@@ -156,6 +156,41 @@ def test_decode_deterministic(tiny_model_setup):
     assert s1 == s2
 
 
+def test_turbo_matches_exact_reconstruction(tiny_model_setup):
+    """Device-resident speculative decode (pinned-continuation rounds)
+    reproduces the exact host-interleaved path bit-for-bit on encoder
+    latents of training molecules."""
+    from ggpm_tpu.models.decode import decode_motif_turbo
+    st = tiny_model_setup
+    model, params, vocab = st['model'], st['params'], st['vocab']
+    mb = st['batches'][0]
+    batch = jax.tree.map(jnp.asarray, to_model_batch(mb, vocab.mask, pad=False))
+    z, _ = model.apply(params, batch['tree'],
+                       method=lambda m, tree: m.encode_latent(tree, perturb=False))
+    z = np.asarray(z)
+    _, s_exact = decode_motif(model, params, vocab, common_atom_vocab, z,
+                              greedy=True, max_decode_step=60, log_steps=False)
+    _, s_turbo = decode_motif_turbo(model, params, vocab, common_atom_vocab,
+                                    z, greedy=True, max_decode_step=60)
+    assert s_turbo == s_exact
+
+
+def test_turbo_matches_exact_prior(tiny_model_setup):
+    """Turbo ≡ exact on prior samples too — divergence-heavy latents
+    exercise the beam-retry and forced-backtrack pinning ops."""
+    from ggpm_tpu.models.decode import decode_motif_turbo
+    st = tiny_model_setup
+    rng = np.random.default_rng(7)
+    z = rng.normal(size=(8, st['cfg'].latent_size)).astype(np.float32) * 1.5
+    _, s_exact = decode_motif(st['model'], st['params'], st['vocab'],
+                              common_atom_vocab, z, greedy=True,
+                              max_decode_step=40, log_steps=False)
+    _, s_turbo = decode_motif_turbo(st['model'], st['params'], st['vocab'],
+                                    common_atom_vocab, z, greedy=True,
+                                    max_decode_step=40)
+    assert s_turbo == s_exact
+
+
 def test_decode_kernel_cached_across_calls(tiny_model_setup):
     """Repeated decode calls with the same (model, params, vocab) reuse one
     kernel object — fresh jit closures per call would recompile every step
