@@ -212,13 +212,15 @@ class MotifDecodeKernel:
         self.step_fused = lambda *a: _step_fused(self.params, *a, self.mask)
         self._topk = jax.jit(lambda c, i, m: hier_topk(c, i, m, beam))
 
-        def propose(params, root_vecs, mask, u_seq, pin_op, pin_clab):
+        def propose(params, root_vecs, mask, u_seq, pin_op, pin_clab,
+                    pin_ilab, tabs):
             return model.apply(
-                params, root_vecs, mask, u_seq, pin_op, pin_clab, beam,
+                params, root_vecs, mask, u_seq, pin_op, pin_clab, pin_ilab,
+                tabs, beam,
                 method=lambda m, *a: m._decoder().dec_propose(*a))
         _propose = jax.jit(propose)
-        self.propose = lambda rv, u, po, pc: \
-            _propose(self.params, rv, self.mask, u, po, pc)
+        self.propose = lambda rv, u, po, pc, pi, tabs: \
+            _propose(self.params, rv, self.mask, u, po, pc, pi, tabs)
 
     def topk(self, cls_scores, icls_scores):
         return self._topk(cls_scores, icls_scores, self.mask)
@@ -533,74 +535,220 @@ def decode_hier(model, params, vocab: PairVocab, avocab: Vocab,
     return results, smiles_out
 
 
-def _replay_pinned(trace_b, root_cls_b, root_icls_b, pins, vocab: PairVocab,
-                   avocab: Vocab, beam: int, max_nodes: int, max_edges: int,
-                   max_nb: int = 12):
+_ASSM_TABLES_CACHE: dict = {}
+
+ORACLE_SLOTS = 24          # motifs larger than this get no-opinion treatment
+_FV_BIG = 63               # "unlimited valence" sentinel (max_valence == 0)
+
+
+def _assm_tables(vocab: PairVocab, avocab: Vocab):
+    """Per-icls motif tables for the device-side assembly oracle (see
+    ``MotifDecoder.dec_propose``) — a tensorised model of
+    ``IncGraph.get_assm_cands`` + ``IncGraph.try_add_mol``:
+
+    the candidate space is consecutive runs of the parent's cluster-atom
+    LIST (reference inc_graph.py:287-301 — ``cluster2[i:i+inter_size]``,
+    list order, not chemical adjacency), filtered by endpoint atom-type
+    equality (``bond_match`` compares (symbol, charge) only,
+    chemutils.py:120-123) and the used-atom set, then validated by the
+    incremental valence test (``try_add_mol``).  All of that is
+    computable per (parent icls, child icls) from static per-motif data
+    plus two dynamic per-node vectors (slot used flags and slot free
+    valences), which the decode scan carries.
+
+    Arrays (all first-indexed by icls):
+      n_at   atom count (0 for unparseable)
+      isz    attachment size = len(attach_points)
+      fail   structurally unattachable as a child (≠2 anchors when
+             isz ∉ {1, 2}, reference inc_graph.py:304-314)
+      noop   oracle abstains (motif too large / exotic atoms / isz > 2):
+             feasibility defaults to "yes", divergences fall back to the
+             host replay
+      sym    the two anchor SMILES are equal → forward candidate
+             enumeration only (inc_graph.py:318-323)
+      stype  [S] avocab type index per cluster slot (−1 pad)
+      bused  [S] used-at-birth flags (anchors + map-1 + interior atoms —
+             ``add_mol`` returns them as attached, inc_graph.py:152-203)
+      bfv    [S] free valence at birth: max_valence − motif-internal
+             bonded valence − explicit Hs (``try_add_mol`` valence test);
+             _FV_BIG where max_valence == 0 (unconstrained)
+      adj    [S, S] motif-internal bond orders (the ``extra`` term for
+             attach-attach bonds missing in the parent)
+      appos  [2] slot indices of the two attachment endpoints
+             (p0 == p1 for isz == 1)
+      apbond bond order between the two endpoints inside the motif
+      needs  [2] bond-order sum from each endpoint into NON-attach atoms
+      ctype  [2] avocab type of each endpoint
+    """
+    import weakref
+    hit = _ASSM_TABLES_CACHE.get(id(vocab))
+    if hit is not None and hit[0]() is vocab:
+        return hit[1]
+    from ..chem import get_mol_shared
+    from ..chem.elements import max_valence
+    from ..graph.chemutils import get_anchor_smiles
+    from .inc_graph import is_anchor_self
+    S = ORACLE_SLOTS
+    n = vocab.size()[1]
+    n_at = np.zeros(n, np.int32)
+    isz_t = np.ones(n, np.int32)
+    fail = np.zeros(n, bool)
+    noop = np.zeros(n, bool)
+    sym = np.zeros(n, bool)
+    stype = np.full((n, S), -1, np.int32)
+    bused = np.zeros((n, S), bool)
+    bfv = np.zeros((n, S), np.int32)
+    adj = np.zeros((n, S, S), np.int8)
+    appos = np.zeros((n, 2), np.int32)
+    apbond = np.zeros(n, np.int32)
+    needs = np.zeros((n, 2), np.int32)
+    ctype = np.full((n, 2), -1, np.int32)
+
+    def type_idx(a):
+        try:
+            return avocab[(a.symbol, a.charge)]
+        except KeyError:
+            return -1
+
+    for i in range(n):
+        try:
+            emol = get_mol_shared(vocab.get_ismiles(i))
+        except Exception:
+            emol = None
+        if emol is None:
+            fail[i] = True
+            noop[i] = True
+            continue
+        na = emol.num_atoms
+        n_at[i] = min(na, S)
+        if na > S:
+            noop[i] = True
+            continue
+        types = [type_idx(a) for a in emol.atoms]
+        if any(t < 0 for t in types):
+            noop[i] = True
+        stype[i, :na] = types
+        for j, a in enumerate(emol.atoms):
+            # birth-used = everything except map-2 atoms (inc_graph.py:152-203)
+            # — except singletons, whose attached list is reset to []
+            # (inc_graph.py:199-200)
+            bused[i, j] = a.map_num != 2 and na > 1
+            mv = max_valence(a.symbol, a.charge)
+            if mv == 0:
+                bfv[i, j] = _FV_BIG
+            else:
+                bonded = sum(b.order for b in emol.bonds
+                             if b.a1 == j or b.a2 == j)
+                bfv[i, j] = max(mv - bonded - (a.explicit_h or 0), 0)
+        for b in emol.bonds:
+            adj[i, b.a1, b.a2] = b.order
+            adj[i, b.a2, b.a1] = b.order
+
+        if na == 1:
+            isz_t[i] = 1
+            appos[i] = (0, 0)
+            ctype[i] = (types[0], types[0])
+            continue
+        attach = [j for j, a in enumerate(emol.atoms) if a.map_num == 1]
+        isz = len(attach)
+        if isz == 1:
+            a0 = a1 = attach[0]
+        elif isz == 2:
+            a0, a1 = attach
+            try:
+                s0 = get_anchor_smiles(emol, a0, by_index=True)
+                s1 = get_anchor_smiles(emol, a1, by_index=True)
+                sym[i] = s0 == s1
+            except Exception:
+                noop[i] = True
+        else:
+            anchors = [a for a in attach if is_anchor_self(emol, a, attach)]
+            if len(anchors) != 2:
+                fail[i] = True
+                continue
+            a0, a1 = anchors
+            noop[i] = True           # >2-point attachment: oracle abstains
+        isz_t[i] = max(isz, 1)
+        appos[i] = (a0, a1)
+        ctype[i] = (types[a0], types[a1])
+        ap_set = set(attach)
+        for b in emol.bonds:
+            for (x, y) in ((b.a1, b.a2), (b.a2, b.a1)):
+                if x in (a0, a1) and y not in ap_set:
+                    needs[i, 0 if x == a0 else 1] += b.order
+                    if isz == 1:
+                        break            # single endpoint: count once
+        apbond[i] = adj[i, a0, a1] if isz >= 2 else 0
+
+    tabs = {k: jnp.asarray(v) for k, v in dict(
+        n_at=n_at, isz=isz_t, fail=fail, noop=noop, sym=sym, stype=stype,
+        bused=bused, bfv=bfv, adj=adj.astype(np.int32), appos=appos,
+        apbond=apbond, needs=needs, ctype=ctype).items()}
+    _ASSM_TABLES_CACHE[id(vocab)] = (weakref.ref(vocab), tabs)
+    return tabs
+
+
+class _ReplayState:
+    """Live single-sample chemistry state carried across turbo rounds.
+
+    The pinned prefix of a re-entering sample replays DETERMINISTICALLY
+    (every step before the divergence is pinned, and the divergence
+    resolution itself was already executed when it was recorded as the
+    last pin), so instead of rebuilding tree/graph from scratch each
+    round, the resolved state lives here and the next round's replay
+    resumes at ``t = len(pins)``."""
+
+    __slots__ = ('tree', 'graph', 'stack', 'pins', 'seeded')
+
+    def __init__(self, vocab, avocab, max_nodes, max_edges, max_nb):
+        self.tree = IncTree(1, max_nodes=max_nodes, max_edges=max_edges,
+                            max_nb=max_nb)
+        self.graph = IncGraph(avocab, 1, max_nodes=max_nodes,
+                              max_edges=max_edges + 100)
+        self.stack: List[int] = []
+        self.pins: List[tuple] = []
+        self.seeded = False
+
+
+def _replay_pinned(trace_b, root_cls_b, root_icls_b, rs: "_ReplayState",
+                   vocab: PairVocab, beam: int):
     """Replay one sample's device decision trace with real chemistry,
-    honouring a resolved-prefix ``pins`` list of ``(op, clab, ilab)``
-    (op 1 = expand committing (clab, ilab), 2 = backtrack, 3 = expand then
-    forced backtrack — see ``MotifDecoder.dec_propose``).
+    resuming from ``rs`` (state after the last resolved divergence; see
+    ``_ReplayState``).  Pin ops: 1 = expand committing (clab, ilab),
+    2 = backtrack, 3 = expand then forced backtrack — see
+    ``MotifDecoder.dec_propose``.
 
-    Free (unpinned) steps follow the trace and commit the device's beam-0
+    Free (un-pinned) steps follow the trace and commit the device's beam-0
     speculation.  Returns one of
-      ``('done', smiles)``       — replay completed;
-      ``('diverge', new_pins)``  — chemistry rejected beam-0 at some step;
-        the divergence is resolved the exact path's way (beam retry then
-        forced backtrack, reference decoder.py:1037-1089) and recorded as
-        the last pin — re-enter the device with ``new_pins``;
-      ``('fail', None)``         — a pinned step failed to re-execute
-        (should not happen; caller falls back to the exact path)."""
-    tree = IncTree(1, max_nodes=max_nodes, max_edges=max_edges, max_nb=max_nb)
-    graph = IncGraph(avocab, 1, max_nodes=max_nodes, max_edges=max_edges + 100)
-    stack: List[int] = []
+      ``('done', smiles)``  — replay completed;
+      ``('diverge', None)`` — chemistry rejected beam-0 at some step; the
+        divergence is resolved the exact path's way (beam retry then
+        forced backtrack, reference decoder.py:1037-1089), recorded as the
+        last pin in ``rs.pins``, and ``rs`` holds the post-resolution
+        state — re-enter the device with ``rs.pins``."""
+    tree, graph, stack = rs.tree, rs.graph, rs.stack
 
-    clab, ilab = int(root_cls_b), int(root_icls_b)
-    super_root = tree.add_node()
-    root_idx = tree.add_node((clab, ilab))
-    tree.add_edge(super_root, root_idx)
-    stack.append(root_idx)
-    try:
-        new_atoms, new_bonds, attached = graph.add_mol(
-            0, vocab.get_ismiles(ilab), [], 0)
-    except Exception:
-        # ungraftable root fragment: the reference has no root retry either
-        # (decoder.py:936-948 would raise) — yield no molecule
-        return 'done', None
-    tree.register_cgraph(root_idx, new_atoms, new_bonds, attached)
+    if not rs.seeded:
+        rs.seeded = True
+        # first round for this sample: seed the root motif
+        clab, ilab = int(root_cls_b), int(root_icls_b)
+        super_root = tree.add_node()
+        root_idx = tree.add_node((clab, ilab))
+        tree.add_edge(super_root, root_idx)
+        stack.append(root_idx)
+        try:
+            new_atoms, new_bonds, attached = graph.add_mol(
+                0, vocab.get_ismiles(ilab), [], 0)
+        except Exception:
+            # ungraftable root fragment: the reference has no root retry
+            # either (decoder.py:936-948 would raise) — yield no molecule
+            return 'done', None
+        tree.register_cgraph(root_idx, new_atoms, new_bonds, attached)
 
     T = trace_b.shape[0]
-    new_pins: List[tuple] = []
-    for t in range(T):
+    for t in range(len(rs.pins), T):
         if not stack:
             break
-        op, pclab, pilab = pins[t] if t < len(pins) else (0, 0, 0)
-        if op == 2:                                   # pinned backtrack
-            child = stack.pop()
-            if stack:
-                top = stack[-1]
-                tree.add_edge(child, top, (child, top, tree.in_degree(top)))
-            new_pins.append((2, 0, 0))
-            continue
-        if op == 3:                                   # pinned forced backtrack
-            parent = stack[-1]
-            new_node = tree.add_node((pclab, pilab))
-            tree.add_edge(parent, new_node, (parent, new_node, 0))
-            stack.append(new_node)
-            _forced_backtrack(tree, [stack], 0)
-            new_pins.append((3, pclab, pilab))
-            continue
-        if op == 1:                                   # pinned expand
-            parent = stack[-1]
-            new_node = tree.add_node()
-            tree.add_edge(parent, new_node, (parent, new_node, 0))
-            stack.append(new_node)
-            ok = _try_assemble(tree, graph, vocab, 0, new_node, parent, [0],
-                               np.array([pclab]), np.array([pilab]),
-                               None, None)
-            if not ok:
-                return 'fail', None
-            new_pins.append((1, pclab, pilab))
-            continue
         # free step: follow the trace
         choose = trace_b[t, 1] > 0.5
         if choose:
@@ -610,27 +758,29 @@ def _replay_pinned(trace_b, root_cls_b, root_icls_b, pins, vocab: PairVocab,
             stack.append(new_node)
             cls_topk = trace_b[t, 2 + beam:2 + 2 * beam].astype(np.int32)
             icls_topk = trace_b[t, 2 + 2 * beam:2 + 3 * beam].astype(np.int32)
+            dev_j = int(trace_b[t, 2 + 3 * beam])   # −1 = predicted op-3
+            # ground truth: first chemically-valid beam, reference order
+            # (decoder.py:1037-1077); commits the valid choice in place
             ok = _try_assemble(tree, graph, vocab, 0, new_node, parent,
-                               [0], cls_topk, icls_topk, None, None)
-            if ok:
-                new_pins.append((1, int(cls_topk[0]), int(icls_topk[0])))
-                continue
-            # divergence: resolve it as the exact path would, pin, re-enter
-            ok = _try_assemble(tree, graph, vocab, 0, new_node, parent,
-                               range(1, beam), cls_topk, icls_topk,
-                               None, None)
-            if ok:
-                new_pins.append((1, int(ok[0]), int(ok[1])))
-            else:
+                               range(beam), cls_topk, icls_topk, None, None)
+            if ok is None:
+                # all beams fail -> forced backtrack (decoder.py:1079-1089)
                 _forced_backtrack(tree, [stack], 0)
-                new_pins.append((3, int(cls_topk[0]), int(icls_topk[0])))
-            return 'diverge', new_pins
+                rs.pins.append((3, int(cls_topk[0]), int(icls_topk[0])))
+                if dev_j == -1:
+                    continue      # the oracle predicted it: trace still valid
+                return 'diverge', None
+            rs.pins.append((1, int(ok[0]), int(ok[1])))
+            if 0 <= dev_j < beam and int(cls_topk[dev_j]) == ok[0] \
+                    and int(icls_topk[dev_j]) == ok[1]:
+                continue          # device committed the same motif
+            return 'diverge', None
         else:
             child = stack.pop()
             if stack:
                 top = stack[-1]
                 tree.add_edge(child, top, (child, top, tree.in_degree(top)))
-            new_pins.append((2, 0, 0))
+            rs.pins.append((2, 0, 0))
     smiles = graph.get_smiles()
     return 'done', (smiles[0] if smiles else None)
 
@@ -668,55 +818,64 @@ def decode_motif_turbo(model, params, vocab: PairVocab, avocab: Vocab,
     batch_size = root_vecs.shape[0]
     T = max_decode_step
     kern = _get_kernel(MotifDecodeKernel, model, params, vocab.mask, beam)
+    tabs = _assm_tables(vocab, avocab)
 
-    rv = jnp.asarray(root_vecs)
-    u = jnp.full((T, batch_size), 0.5, dtype=jnp.float32)
-    pin_op = np.zeros((T, batch_size), dtype=np.int32)
-    pin_clab = np.zeros((T, batch_size), dtype=np.int32)
-    pins: List[List[tuple]] = [[] for _ in range(batch_size)]
-
+    states = [_ReplayState(vocab, avocab, max_nodes, max_edges, 12)
+              for _ in range(batch_size)]
     smiles_out: List[Optional[str]] = [None] * batch_size
     results: List[list] = [[] for _ in range(batch_size)]
     pending = list(range(batch_size))
-    failed: List[int] = []
 
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
+        # compact: later rounds run the propose scan only over still-pending
+        # samples.  Exactly TWO column shapes ever compile (full batch and a
+        # 16-wide straggler shape) — the scan is column-independent, and
+        # each extra shape costs a full scan compile on the TPU
+        n_p = len(pending)
+        nb = 16 if (rnd and n_p <= 16 and batch_size > 16) else batch_size
+        cols = pending + [pending[0]] * (nb - n_p)
+        rv_r = jnp.asarray(root_vecs[np.asarray(cols)])
+        u_r = jnp.full((T, nb), 0.5, dtype=jnp.float32)
+        pin_op = np.zeros((T, nb), dtype=np.int32)
+        pin_clab = np.zeros((T, nb), dtype=np.int32)
+        pin_ilab = np.zeros((T, nb), dtype=np.int32)
+        for j, b in enumerate(cols[:n_p]):
+            for t, (op, clab, ilab) in enumerate(states[b].pins):
+                pin_op[t, j] = op
+                pin_clab[t, j] = clab
+                pin_ilab[t, j] = ilab
+
         packed, root_cls, root_icls = kern.propose(
-            rv, u, jnp.asarray(pin_op), jnp.asarray(pin_clab))
+            rv_r, u_r, jnp.asarray(pin_op), jnp.asarray(pin_clab),
+            jnp.asarray(pin_ilab), tabs)
         packed = np.asarray(packed)      # ONE host round-trip per round
         root_cls = np.asarray(root_cls)
         root_icls = np.asarray(root_icls)
 
         still = []
-        for b in pending:
+        for j, b in enumerate(cols[:n_p]):
             status, out = _replay_pinned(
-                packed[:, b, :], root_cls[b], root_icls[b], pins[b], vocab,
-                avocab, beam, max_nodes, max_edges)
+                packed[:, j, :], root_cls[j], root_icls[j], states[b],
+                vocab, beam)
             if status == 'done':
                 smiles_out[b] = out
-            elif status == 'diverge':
-                pins[b] = out
-                for t, (op, clab, _) in enumerate(out):
-                    pin_op[t, b] = op
-                    pin_clab[t, b] = clab
+            else:                         # 'diverge': pins grew inside rs
                 still.append(b)
-            else:                         # 'fail' — safety net
-                failed.append(b)
         pending = still
         if not pending:
             break
 
-    leftovers = pending + failed
-    if leftovers:
-        # round cap hit or a pinned step failed to re-execute: finish these
-        # samples on the exact host-interleaved path
+    if pending:
+        # round cap hit: the stragglers have deep divergence chains, where
+        # the exact batched path is cheaper (T per-step calls shared by all
+        # stragglers vs one full scan PER divergence here)
         res2, sm2 = decode_motif(model, params, vocab, avocab,
-                                 root_vecs[np.asarray(leftovers)],
+                                 root_vecs[np.asarray(pending)],
                                  greedy=True, max_decode_step=max_decode_step,
                                  beam=beam, max_nodes=max_nodes,
                                  max_edges=max_edges, rng=rng,
                                  log_steps=log_steps)
-        for j, b in enumerate(leftovers):
+        for j, b in enumerate(pending):
             smiles_out[b] = sm2[j]
             results[b] = res2[j]
     return results, smiles_out

@@ -524,7 +524,7 @@ class MotifDecoder(nn.Module):
         return state, packed
 
     def dec_propose(self, root_vecs, vocab_mask, u_seq, pin_op, pin_clab,
-                    beam: int, max_nb: int = 12):
+                    pin_ilab, tabs, beam: int, max_nb: int = 12):
         """Device-RESIDENT speculative decode: the whole autoregressive loop
         as ONE ``lax.scan`` — zero host round-trips until the single final
         fetch.
@@ -540,18 +540,40 @@ class MotifDecoder(nn.Module):
         every step and records the full decision trace; the host replays it
         with real chemistry (``decode.decode_motif_turbo``).
 
-        Samples where chemistry rejects beam-0 re-enter with their executed
-        prefix PINNED (``pin_op``/``pin_clab``, shape [T, B]): op 0 = free
-        speculation, 1 = expand committing ``pin_clab`` as the new node's
-        motif, 2 = backtrack, 3 = expand-then-forced-backtrack (the exact
-        path's assembly total failure, reference decoder.py:1079-1089 —
-        message computed, node and parent popped, the closing edges carry
-        zero messages so only in-degrees advance).  Each round resolves at
-        least one divergence per sample, so the host round loop terminates
-        without ever paying a per-step round-trip.
+        Samples where chemistry rejects the speculation re-enter with their
+        executed prefix PINNED (``pin_op``/``pin_clab``/``pin_ilab``, shape
+        [T, B]): op 0 = free speculation, 1 = expand committing
+        ``(pin_clab, pin_ilab)`` as the new node's motif, 2 = backtrack,
+        3 = expand-then-forced-backtrack (the exact path's assembly total
+        failure, reference decoder.py:1079-1089 — message computed, node
+        and parent popped, the closing edges carry zero messages so only
+        in-degrees advance).  Each round resolves at least one divergence
+        per sample, so the host round loop terminates without ever paying a
+        per-step round-trip.
 
-        Returns (packed [T, B, 2+3·beam] — the dec_step_fused layout per
-        step — plus root_cls [B], root_icls [B]).
+        ASSEMBLY ORACLE: beam-0 speculation alone pays one full round per
+        chemistry rejection, so the scan carries a tensorised model of
+        the host assembly chemistry (``decode._assm_tables``) and commits,
+        at each expand step, the FIRST beam candidate with a feasible
+        attachment — executing forced-backtrack semantics in-scan when no
+        beam has one (the exact path's total assembly failure, reference
+        decoder.py:1079-1089).  Feasibility replicates
+        ``IncGraph.get_assm_cands`` + ``try_add_mol``: candidates are
+        consecutive runs of the parent's cluster-atom list, endpoint
+        atom-types must match (``bond_match`` is type-only), used atoms
+        are excluded for 1-point attachments, and each attachment point
+        must have free valence for the bonds the graft adds.  The dynamic
+        per-node state is two slot vectors (used flags + free valences)
+        plus the anchor-pair exclusion and a no-opinion flag; everything
+        else is static per-icls tables.  The oracle abstains (feasible =
+        yes) for >2-point attachments, oversize motifs and exotic atoms,
+        and the host replay remains ground truth either way: a wrong
+        prediction is just a divergence, never a semantics change.
+
+        Returns (packed [T, B, 2+3·beam+2] — the dec_step_fused layout per
+        step, plus the committed beam slot (−1 = predicted forced
+        backtrack) and the committed icls — plus root_cls [B],
+        root_icls [B]).
         """
         from .decode import hier_topk
         batch_size = root_vecs.shape[0]
@@ -572,8 +594,17 @@ class MotifDecoder(nn.Module):
         root_icls = jnp.argmax(icls_l + vocab_mask[root_cls],
                                axis=-1).astype(jnp.int32)
 
+        S = tabs['stype'].shape[1]
         ar = jnp.arange(batch_size)
         clab = jnp.zeros((batch_size, n_nodes), jnp.int32).at[:, 0].set(root_cls)
+        ilab = jnp.zeros((batch_size, n_nodes), jnp.int32).at[:, 0].set(root_icls)
+        slot_used = jnp.zeros((batch_size, n_nodes, S),
+                              bool).at[:, 0].set(tabs['bused'][root_icls])
+        slot_fv = jnp.zeros((batch_size, n_nodes, S),
+                            jnp.int32).at[:, 0].set(tabs['bfv'][root_icls])
+        node_as2 = jnp.zeros((batch_size, n_nodes), bool)
+        node_noop = jnp.zeros((batch_size, n_nodes),
+                              bool).at[:, 0].set(tabs['noop'][root_icls])
         in_deg = jnp.zeros((batch_size, n_nodes), jnp.int32).at[:, 0].set(1)
         agraph = jnp.zeros((batch_size, n_nodes, max_nb),
                            jnp.int32).at[:, 0, 0].set(base)
@@ -583,8 +614,9 @@ class MotifDecoder(nn.Module):
         nxt = jnp.ones((batch_size,), jnp.int32)
 
         def step(carry, inputs):
-            state, clab, in_deg, agraph, down_row, stack, sp, nxt = carry
-            t, u, p_op, p_clab = inputs
+            state, clab, ilab, slot_used, slot_fv, node_as2, node_noop, \
+                in_deg, agraph, down_row, stack, sp, nxt = carry
+            t, u, p_op, p_clab, p_ilab = inputs
             active = sp > 0
             v = stack[ar, jnp.maximum(sp - 1, 0)]
             v_clab = clab[ar, v]
@@ -594,12 +626,14 @@ class MotifDecoder(nn.Module):
             can_exp = in_deg[ar, v] < max_nb
             spec = (jax.nn.sigmoid(topo_logits) > u) & can_exp
             free = p_op == 0
-            forced = (p_op == 3) & active
-            # choose = "compute an expand message this step" (ops 1 and 3
-            # both expanded on the host; op 3's node is then force-popped)
-            choose = jnp.where(free, spec, (p_op == 1) | (p_op == 3)) & active
 
             top = stack[ar, jnp.maximum(sp - 2, 0)]
+            # branch selection must happen BEFORE the oracle (the oracle
+            # needs cls/icls top-k, which needs the expand message) — so
+            # "attempt expand" covers both commit and predicted-op3; the
+            # backtrack branch is as before
+            attempt = jnp.where(free, spec, (p_op == 1) | (p_op == 3)) & active
+            choose = attempt
             bt_valid = active & (~choose) & (sp >= 2)
             bt_pos = jnp.minimum(in_deg[ar, top], MAX_POS - 1)
             bt_bg = jnp.where(v_ag == down_row[ar, v][:, None], 0, v_ag)
@@ -611,9 +645,139 @@ class MotifDecoder(nn.Module):
             state = self.dec_update(state, rows, v_clab, pos, bg)
             cls_s, icls_s = self.dec_cls(state, rows, root_vecs)
             scores, cls_k, icls_k = hier_topk(cls_s, icls_s, vocab_mask, beam)
-            # pinned expands commit the host's resolved motif, not beam-0
+
+            # ---- assembly oracle: first beam with a feasible attachment --
+            v_il = ilab[ar, v]                                 # [B]
+            p_n = tabs['n_at'][v_il]                           # [B]
+            p_typ = tabs['stype'][v_il]                        # [B, S]
+            p_adj = tabs['adj'][v_il]                          # [B, S, S]
+            p_ap = tabs['appos'][v_il]                         # [B, 2]
+            p_used = slot_used[ar, v]                          # [B, S]
+            p_fv = slot_fv[ar, v]                              # [B, S]
+            p_as2 = node_as2[ar, v]                            # [B]
+            p_noop = node_noop[ar, v]                          # [B]
+            p_single = p_n <= 1                                # [B]
+
+            sidx = jnp.arange(S)
+            s_valid = sidx[None, :] < p_n[:, None]             # [B, S]
+            # neighbour slots in cluster-list order (candidates are
+            # consecutive runs of the cluster list, inc_graph.py:316-331)
+            nxt_s = jnp.where(sidx[None, :] + 1 >= p_n[:, None], 0,
+                              sidx[None, :] + 1)               # [B, S]
+            prv_s = jnp.where(sidx[None, :] == 0,
+                              jnp.maximum(p_n[:, None] - 1, 0),
+                              sidx[None, :] - 1)
+            t_nxt = jnp.take_along_axis(p_typ, nxt_s, axis=1)
+            t_prv = jnp.take_along_axis(p_typ, prv_s, axis=1)
+            fv_nxt = jnp.take_along_axis(p_fv, nxt_s, axis=1)
+            fv_prv = jnp.take_along_axis(p_fv, prv_s, axis=1)
+            ab_nxt = jnp.take_along_axis(p_adj, nxt_s[:, :, None],
+                                         axis=2)[:, :, 0]
+            ab_prv = jnp.take_along_axis(p_adj, prv_s[:, :, None],
+                                         axis=2)[:, :, 0]
+            ap0, ap1 = p_ap[:, 0:1], p_ap[:, 1:2]
+            excl_f = p_as2[:, None] & (
+                ((sidx[None, :] == ap0) & (nxt_s == ap1)) |
+                ((sidx[None, :] == ap1) & (nxt_s == ap0)))     # [B, S]
+            excl_r = p_as2[:, None] & (
+                ((sidx[None, :] == ap0) & (prv_s == ap1)) |
+                ((sidx[None, :] == ap1) & (prv_s == ap0)))
+
+            def feas_for(c_il):
+                """Feasibility + first-candidate slots for child icls
+                matrix ``c_il`` [B, Kc] against the current parent state.
+                Returns (feas [B,Kc], slotA [B,Kc], slotB [B,Kc],
+                extraA [B,Kc], extraB [B,Kc], committed-is-pair [B,Kc])."""
+                c_isz = tabs['isz'][c_il]
+                c_fail = tabs['fail'][c_il]
+                c_noop = tabs['noop'][c_il]
+                c_sym = tabs['sym'][c_il]
+                c_t0 = tabs['ctype'][c_il][..., 0]
+                c_t1 = tabs['ctype'][c_il][..., 1]
+                c_n0 = tabs['needs'][c_il][..., 0]
+                c_n1 = tabs['needs'][c_il][..., 1]
+                c_apb = tabs['apbond'][c_il]
+
+                # 1-point: any unused, type-matching slot with free valence
+                # (get_assm_cands:316-317 + try_add_mol type/valence test)
+                f1 = s_valid[:, None, :] & (~p_used[:, None, :]) & \
+                    (p_typ[:, None, :] == c_t0[..., None]) & \
+                    (p_fv[:, None, :] >= c_n0[..., None])      # [B,Kc,S]
+                any1 = f1.any(-1)
+                first1 = jnp.argmax(f1, axis=-1).astype(jnp.int32)
+
+                # 2-point forward pairs (s, s+1 mod n): endpoint types match
+                # (bond_match is type-only, chemutils.py:120-123), pair not
+                # the parent's own grafted anchor pair, valences cover the
+                # needs plus the anchor bond where the parent lacks it
+                ex_f = (ab_nxt[:, None, :] == 0) * c_apb[..., None]
+                pair_ok = s_valid[:, None, :] & \
+                    (p_n[:, None, None] >= 2) & (~excl_f[:, None, :])
+                ff = pair_ok & \
+                    (p_typ[:, None, :] == c_t0[..., None]) & \
+                    (t_nxt[:, None, :] == c_t1[..., None]) & \
+                    (p_fv[:, None, :] >= c_n0[..., None] + ex_f) & \
+                    (fv_nxt[:, None, :] >= c_n1[..., None] + ex_f)
+                anyf = ff.any(-1)
+                firstf = jnp.argmax(ff, axis=-1).astype(jnp.int32)
+
+                # reverse pairs (a, a-1 mod n), enumerated a = n-1, n-2, …
+                # (cands += rev[i:i+2], inc_graph.py:325-328)
+                ex_r = (ab_prv[:, None, :] == 0) * c_apb[..., None]
+                fr = s_valid[:, None, :] & \
+                    (p_n[:, None, None] >= 2) & (~excl_r[:, None, :]) & \
+                    (p_typ[:, None, :] == c_t0[..., None]) & \
+                    (t_prv[:, None, :] == c_t1[..., None]) & \
+                    (p_fv[:, None, :] >= c_n0[..., None] + ex_r) & \
+                    (fv_prv[:, None, :] >= c_n1[..., None] + ex_r)
+                anyr = fr.any(-1)
+                # first in enumeration = LARGEST feasible slot index
+                lastr = (S - 1 - jnp.argmax(fr[..., ::-1], axis=-1)) \
+                    .astype(jnp.int32)
+
+                use_fwd = anyf
+                use_rev = (~c_sym) & (~anyf) & anyr
+                feas2 = anyf | ((~c_sym) & anyr)
+                feas = (~c_fail) & (
+                    c_noop | p_noop[:, None] |
+                    ((c_isz == 1) & any1) |
+                    ((c_isz == 2) & feas2))
+                is2 = (c_isz == 2) & (~c_noop) & (~p_noop[:, None])
+                slotA = jnp.where(c_isz == 1, first1,
+                                  jnp.where(use_rev, lastr, firstf))
+                slotB = jnp.where(
+                    use_rev,
+                    jnp.take_along_axis(prv_s[:, None, :].repeat(
+                        slotA.shape[1], 1), slotA[..., None], 2)[..., 0],
+                    jnp.take_along_axis(nxt_s[:, None, :].repeat(
+                        slotA.shape[1], 1), slotA[..., None], 2)[..., 0])
+                exA = jnp.where(
+                    use_rev,
+                    jnp.take_along_axis(ex_r, slotA[..., None], 2)[..., 0],
+                    jnp.take_along_axis(ex_f, slotA[..., None], 2)[..., 0])
+                extraA = c_n0 + jnp.where(c_isz == 2, exA, 0)
+                extraB = c_n1 + jnp.where(c_isz == 2, exA, 0)
+                return feas, slotA, slotB, extraA, extraB, is2
+
+            feasible, _, _, _, _, _ = feas_for(icls_k)         # [B, K]
+            any_feas = feasible.any(axis=1)
+            j_star = jnp.argmax(feasible, axis=1).astype(jnp.int32)
+            spec_clab = jnp.take_along_axis(
+                cls_k, j_star[:, None], axis=1)[:, 0].astype(jnp.int32)
+            spec_ilab = jnp.take_along_axis(
+                icls_k, j_star[:, None], axis=1)[:, 0].astype(jnp.int32)
+
+            # pinned expands commit the host's resolved motif; free expands
+            # commit the first feasible beam (beam 0 when the oracle has no
+            # opinion); oracle-infeasible free expands forced-backtrack
+            forced_free = free & attempt & (~any_feas)
+            forced = ((p_op == 3) & active) | forced_free
             new_clab = jnp.where(p_op == 1, p_clab,
-                                 cls_k[:, 0].astype(jnp.int32))
+                                 jnp.where(any_feas, spec_clab,
+                                           cls_k[:, 0].astype(jnp.int32)))
+            new_ilab = jnp.where(p_op == 1, p_ilab,
+                                 jnp.where(any_feas, spec_ilab,
+                                           icls_k[:, 0].astype(jnp.int32)))
 
             # expand bookkeeping (masked writes; non-choosing samples write
             # their just-read value back — a no-op)
@@ -651,14 +815,87 @@ class MotifDecoder(nn.Module):
                 - forced.astype(jnp.int32)
             nxt = nxt + choose.astype(jnp.int32)
 
+            # ---- chemistry-state bookkeeping on committed expands -------
+            # (host counterpart: try_add_mol's graft + update_attached)
+            commit = choose & (~forced)
+            ilab = ilab.at[ar, nn_i].set(
+                jnp.where(choose, new_ilab, ilab[ar, nn_i]))
+            c_feas, c_slotA, c_slotB, c_exA, c_exB, c_is2 = \
+                feas_for(new_ilab[:, None])
+            c_feas = c_feas[:, 0]
+            slotA = c_slotA[:, 0]
+            slotB = c_slotB[:, 0]
+            exA = c_exA[:, 0]
+            exB = c_exB[:, 0]
+            is2 = c_is2[:, 0]
+            ni_noop = tabs['noop'][new_ilab]
+            oracle_on = (~p_noop) & (~ni_noop)
+            do_c = commit & c_feas & oracle_on
+            do_pair = do_c & is2
+            # a pinned commit the oracle deems infeasible means its state
+            # for this node has drifted — stop predicting from it
+            mispin = commit & (~c_feas) & oracle_on
+            node_noop = node_noop.at[ar, v].set(node_noop[ar, v] | mispin)
+
+            # parent slots: mark used (skipped for singleton parents, which
+            # never consume — inc_graph.py:108-111) and pay the valence
+            curA_used = jnp.take_along_axis(p_used, slotA[:, None], 1)[:, 0]
+            curB_used = jnp.take_along_axis(p_used, slotB[:, None], 1)[:, 0]
+            curA_fv = jnp.take_along_axis(p_fv, slotA[:, None], 1)[:, 0]
+            curB_fv = jnp.take_along_axis(p_fv, slotB[:, None], 1)[:, 0]
+            newA_fv = jnp.where(do_c, curA_fv - exA, curA_fv)
+            newB_fv = jnp.where(do_pair, curB_fv - exB, curB_fv)
+            slot_used = slot_used.at[ar, v, slotA].set(
+                jnp.where(do_c & (~p_single), True, curA_used))
+            slot_used = slot_used.at[ar, v, slotB].set(
+                jnp.where(do_pair & (~p_single), True, curB_used))
+            slot_fv = slot_fv.at[ar, v, slotA].set(newA_fv)
+            slot_fv = slot_fv.at[ar, v, slotB].set(
+                jnp.where(do_pair, newB_fv, curB_fv))
+
+            # child node: birth state, anchors inherit the parent atoms'
+            # post-graft free valence (they are the same atoms)
+            ch_used = jnp.where(choose[:, None], tabs['bused'][new_ilab],
+                                slot_used[ar, nn_i])
+            ch_fv = jnp.where(choose[:, None], tabs['bfv'][new_ilab],
+                              slot_fv[ar, nn_i])
+            slot_used = slot_used.at[ar, nn_i].set(ch_used)
+            slot_fv = slot_fv.at[ar, nn_i].set(ch_fv)
+            ch_ap = tabs['appos'][new_ilab]                    # [B, 2]
+            cur0 = jnp.take_along_axis(
+                slot_fv[ar, nn_i], ch_ap[:, 0:1], 1)[:, 0]
+            cur1 = jnp.take_along_axis(
+                slot_fv[ar, nn_i], ch_ap[:, 1:2], 1)[:, 0]
+            slot_fv = slot_fv.at[ar, nn_i, ch_ap[:, 0]].set(
+                jnp.where(do_c, newA_fv, cur0))
+            slot_fv = slot_fv.at[ar, nn_i, ch_ap[:, 1]].set(
+                jnp.where(do_pair, newB_fv,
+                          jnp.where(do_c & (~is2), newA_fv, cur1)))
+            # grafted-onto-existing-bond marker: add_mol records the anchor
+            # pair as used when the bond pre-exists (inc_graph.py:195-196)
+            as2_child = do_pair & (tabs['apbond'][new_ilab] > 0) & \
+                (exA == tabs['needs'][new_ilab][:, 0])
+            node_as2 = node_as2.at[ar, nn_i].set(
+                jnp.where(choose, as2_child, node_as2[ar, nn_i]))
+            node_noop = node_noop.at[ar, nn_i].set(
+                jnp.where(choose, ni_noop | p_noop | (commit & ~do_c),
+                          node_noop[ar, nn_i]))
+
+            j_pack = jnp.where(free & choose,
+                               jnp.where(any_feas, j_star, -1), 0)
             packed = jnp.concatenate(
                 [topo_logits[:, None], choose.astype(jnp.float32)[:, None],
                  scores, cls_k.astype(jnp.float32),
-                 icls_k.astype(jnp.float32)], axis=1)
-            return (state, clab, in_deg, agraph, down_row, stack, sp, nxt), \
+                 icls_k.astype(jnp.float32),
+                 j_pack.astype(jnp.float32)[:, None],
+                 new_ilab.astype(jnp.float32)[:, None]], axis=1)
+            return (state, clab, ilab, slot_used, slot_fv, node_as2,
+                    node_noop, in_deg, agraph, down_row, stack, sp, nxt), \
                 packed
 
-        carry0 = (state, clab, in_deg, agraph, down_row, stack, sp, nxt)
-        xs = (jnp.arange(T, dtype=jnp.int32), u_seq, pin_op, pin_clab)
+        carry0 = (state, clab, ilab, slot_used, slot_fv, node_as2,
+                  node_noop, in_deg, agraph, down_row, stack, sp, nxt)
+        xs = (jnp.arange(T, dtype=jnp.int32), u_seq, pin_op, pin_clab,
+              pin_ilab)
         _, packed = jax.lax.scan(step, carry0, xs)
         return packed, root_cls, root_icls

@@ -33,6 +33,12 @@ def main():
                          'reconstruction/property MAE on them (test-split '
                          'protocol; default 0 = evaluate on training mols '
                          'as in round-1 artifacts)')
+    ap.add_argument('--eval-data', default=None,
+                    help='evaluate on this file instead of a holdout slice '
+                         '(e.g. the untouched polymers test.txt — a true '
+                         'test split the reference ships but never uses)')
+    ap.add_argument('--eval-limit', type=int, default=0,
+                    help='cap the --eval-data set size')
     ap.add_argument('--dump-recon', default=None,
                     help='write original,reconstructed,org_homo,org_lumo,'
                          'homo,lumo CSV (reference reconstruct.py:78-97 '
@@ -71,7 +77,21 @@ def main():
     print(f'vocab {vocab.size()}', flush=True)
 
     data = prune_to_vocab(data, vocab)
-    if args.holdout > 0:
+    if args.eval_data:
+        if args.eval_data.endswith('.txt'):
+            eval_rows = [[l.strip(), None, None]
+                         for l in open(args.eval_data) if l.strip()]
+        else:
+            eval_rows = read_csv_data(args.eval_data)
+        if args.eval_limit:
+            eval_rows = eval_rows[:args.eval_limit]
+        # same vocab-pruning the reference's MoleculeDataset applies to any
+        # eval set (reference dataset.py:20-34)
+        eval_rows = prune_to_vocab(eval_rows, vocab)
+        holdout = eval_rows
+        print(f'evaluating on {len(holdout)} molecules from '
+              f'{args.eval_data}; training on {len(data)}', flush=True)
+    elif args.holdout > 0:
         # deterministic split: vocab comes from the full set (the reference
         # extracts its motif vocab from all data too), training never sees
         # the held-out molecules
@@ -149,8 +169,12 @@ def main():
     # step costs one tunnel round-trip regardless of batch size
     test = holdout if holdout is not None else data[:args.n_test]
     kept, zs, hps, lps = [], [], [], []
-    for i in range(0, len(test) - batch_size + 1, batch_size):
+    # include the tail chunk: eval encodes with pad=False so any size works
+    # (a <batch_size holdout previously produced an empty eval set)
+    for i in range(0, len(test), batch_size):
         chunk = test[i:i + batch_size]
+        if not chunk:
+            break
         mb = tensorize(chunk, vocab, common_atom_vocab)
         batch = jax.tree.map(jnp.asarray, to_model_batch(mb, vocab.mask, pad=False))
         if is_hier:

@@ -60,17 +60,19 @@ for s in $steps; do
         --holdout 12 --min-freq 2 --hidden 400 --latent 48 \
         --out runs/QUALITY_curated_test.json \
         --dump-recon runs/recon_curated_test.csv ;;
-    optimize_curated)
-      run optimize_curated 3600 python scripts/optimize_run.py \
+    optimize_curated_soft|optimize_curated_patience|optimize_curated_hard)
+      pol=${s##*_}
+      run "optimize_curated_${pol}" 3600 python scripts/optimize_run.py \
         --data /root/reference/data/chem_data/cleaned_data.csv \
         --vocab runs/QUALITY_curated_r2.json.vocab.txt \
         --ckpt runs/QUALITY_curated_r2.json.ckpt \
-        --hidden 400 --latent 48 --policy hard \
-        --out runs/OPTIMIZE_curated_hard.json ;;
+        --hidden 400 --latent 48 --policy "$pol" \
+        --out "runs/OPTIMIZE_curated_${pol}.json" ;;
     polymers_test)
-      run polymers_test 7200 python scripts/quality_run.py \
+      run polymers_test 10800 python scripts/quality_run.py \
         --data /root/reference/data/polymers/valid.txt --limit 5000 \
-        --holdout 250 --min-freq 40 --epochs 60 --ft-epochs 0 \
+        --min-freq 40 --epochs 60 --ft-epochs 0 \
+        --eval-data /root/reference/data/polymers/test.txt \
         --out runs/QUALITY_polymers_test.json ;;
     hier_hopv_test)
       run hier_hopv_test 7200 python scripts/quality_run.py \

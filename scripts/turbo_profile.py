@@ -1,11 +1,18 @@
-"""Profile decode_motif_turbo on the trained HOPV checkpoint: time per
-propose round, host replay cost, number of rounds/divergences.
+"""Profile decode_motif_turbo: rounds, pending counts, propose vs replay
+time, and the host-chemistry split inside replay.
 
-Usage: python scripts/turbo_profile.py [--b 120] [--t 150]
+Runs on the CPU backend by default (JAX_PLATFORMS=cpu) so profiling never
+contends with TPU artifact runs; divergence statistics are
+hardware-independent.
+
+Usage: JAX_PLATFORMS=cpu python scripts/turbo_profile.py [--n 120]
 """
 
 import argparse
+import cProfile
+import io
 import os
+import pstats
 import sys
 import time
 
@@ -14,97 +21,122 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--b', type=int, default=120)
-    ap.add_argument('--t', type=int, default=150)
     ap.add_argument('--ckpt', default='runs/QUALITY_hopv.json.ckpt')
+    ap.add_argument('--vocab', default='runs/QUALITY_hopv.json.vocab.txt')
+    ap.add_argument('--data', default='/root/reference/data/hopv15/hopv15.csv')
+    ap.add_argument('--n', type=int, default=120)
+    ap.add_argument('--hidden', type=int, default=250)
+    ap.add_argument('--latent', type=int, default=24)
+    ap.add_argument('--mode', default='turbo', choices=['turbo', 'exact'])
+    ap.add_argument('--profile', action='store_true')
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from ggpm_tpu.data.batching import to_model_batch
-    from ggpm_tpu.data.vocab_extract import load_vocab_file
     from ggpm_tpu.cli.common import read_csv_data
+    from ggpm_tpu.data.batching import to_model_batch
+    from ggpm_tpu.data.dataset import prune_to_vocab
+    from ggpm_tpu.data.vocab_extract import load_vocab_file
     from ggpm_tpu.graph.mol_graph import tensorize
     from ggpm_tpu.graph.vocab import common_atom_vocab
-    from ggpm_tpu.models import decode as dec
-    from ggpm_tpu.models.vae import ModelConfig, OPVNet
-    from ggpm_tpu.train import checkpoint as ckpt_mod
+    from ggpm_tpu.models import decode as dec_mod
+    from ggpm_tpu.models.vae import ModelConfig, PropOptVAE
+    from ggpm_tpu.train import checkpoint as ckpt
     from ggpm_tpu.train.loop import init_params_on_cpu
 
-    vocab, _ = load_vocab_file(args.ckpt.replace('.ckpt', '.vocab.txt'))
+    vocab, _ = load_vocab_file(args.vocab)
+    data = prune_to_vocab(read_csv_data(args.data), vocab)
+    # repeat to fill n
+    while len(data) < args.n:
+        data = data + data
+    data = data[:args.n]
+
     cfg = ModelConfig(hvocab_size=vocab.size()[0], ivocab_size=vocab.size()[1],
-                      rnn_type='LSTM', hidden_size=250, embed_size=250,
-                      latent_size=24, linear_hidden_size=128, depthT=20,
-                      depthG=20, diterT=1, diterG=3, dropout=0.0)
-    model = OPVNet.get_model('prop-opt')(cfg=cfg)
-    data = read_csv_data('/root/reference/data/hopv15/hopv15.csv')
-    mb0 = tensorize(data[:8], vocab, common_atom_vocab)
-    params = init_params_on_cpu(
-        model, jax.tree.map(jnp.asarray,
-                            to_model_batch(mb0, vocab.mask, pad=False)),
-        jax.random.PRNGKey(0), 0.1)
-    params = ckpt_mod.load_params(params, args.ckpt)
+                      rnn_type='LSTM', hidden_size=args.hidden,
+                      embed_size=args.hidden, latent_size=args.latent,
+                      linear_hidden_size=128, depthT=20, diterT=1)
+    model = PropOptVAE(cfg=cfg)
 
-    B, T = args.b, args.t
-    z = np.random.default_rng(7).standard_normal(
-        (B, cfg.latent_size)).astype(np.float32)
-    kern = dec._get_kernel(dec.MotifDecodeKernel, model, params, vocab.mask, 5)
+    bs = 20
+    mb0 = tensorize(data[:bs], vocab, common_atom_vocab)
+    batch0 = jax.tree.map(jnp.asarray, to_model_batch(mb0, vocab.mask,
+                                                      pad=False))
+    params = init_params_on_cpu(model, batch0, jax.random.PRNGKey(0), 0.1)
+    params = ckpt.load_params(params, args.ckpt)
 
-    rv = jnp.asarray(z)
-    u = jnp.full((T, B), 0.5, dtype=jnp.float32)
-    pin_op = np.zeros((T, B), dtype=np.int32)
-    pin_clab = np.zeros((T, B), dtype=np.int32)
+    zs = []
+    for i in range(0, len(data), bs):
+        chunk = data[i:i + bs]
+        mb = tensorize(chunk, vocab, common_atom_vocab)
+        batch = jax.tree.map(jnp.asarray, to_model_batch(mb, vocab.mask,
+                                                         pad=False))
+        z, _ = model.apply(params, batch['tree'],
+                           method=lambda m, t: m.encode_latent(
+                               t, perturb=False))
+        zs.append(np.asarray(z))
+    zs = np.concatenate(zs)[:args.n]
+    print(f'encoded {len(zs)}', flush=True)
 
-    # warm up compile
-    t0 = time.time()
-    packed, rc, ri = kern.propose(rv, u, jnp.asarray(pin_op),
-                                  jnp.asarray(pin_clab))
-    np.asarray(packed)
-    print(f'propose compile+run: {time.time()-t0:.2f}s', flush=True)
+    # instrument the turbo loop
+    prof_rounds = []
+    orig_replay = dec_mod._replay_pinned
+    orig_propose_holder = {}
 
-    # timed propose (cached)
-    t0 = time.time()
-    packed, rc, ri = kern.propose(rv, u, jnp.asarray(pin_op),
-                                  jnp.asarray(pin_clab))
-    packed_np = np.asarray(packed)
-    rc_np, ri_np = np.asarray(rc), np.asarray(ri)
-    t_prop = time.time() - t0
-    print(f'propose round (cached): {t_prop:.3f}s '
-          f'(fetch {packed_np.nbytes/1e6:.1f} MB)', flush=True)
+    replay_time = [0.0]
+    propose_time = [0.0]
 
-    # timed replay, all samples
-    t0 = time.time()
-    n_div = 0
-    pins = [[] for _ in range(B)]
-    for b in range(B):
-        status, out = dec._replay_pinned(packed_np[:, b, :], rc_np[b],
-                                         ri_np[b], pins[b], vocab,
-                                         common_atom_vocab, 5, 400, 500)
-        if status == 'diverge':
-            n_div += 1
-    t_rep = time.time() - t0
-    print(f'replay round 0: {t_rep:.3f}s, diverged {n_div}/{B}', flush=True)
+    def timed_replay(*a, **k):
+        t0 = time.perf_counter()
+        out = orig_replay(*a, **k)
+        replay_time[0] += time.perf_counter() - t0
+        return out
+    dec_mod._replay_pinned = timed_replay
 
-    # full turbo with round counting
-    t0 = time.time()
-    _, smiles = dec.decode_motif_turbo(model, params, vocab,
-                                       common_atom_vocab, z, greedy=True,
-                                       max_decode_step=T)
-    t_turbo = time.time() - t0
-    ok = sum(s is not None for s in smiles)
-    print(f'turbo total: {t_turbo:.2f}s = {B/t_turbo:.1f} mols/sec '
-          f'({ok}/{B} valid)', flush=True)
+    fn = dec_mod.decode_motif_turbo if args.mode == 'turbo' \
+        else dec_mod.decode_motif
 
-    # exact path comparison
-    t0 = time.time()
-    _, smiles2 = dec.decode_motif(model, params, vocab, common_atom_vocab, z,
-                                  greedy=True, max_decode_step=T,
-                                  log_steps=False)
-    t_exact = time.time() - t0
-    print(f'exact total: {t_exact:.2f}s = {B/t_exact:.1f} mols/sec', flush=True)
-    print(f'agree: {sum(a==b for a,b in zip(smiles, smiles2))}/{B}', flush=True)
+    # warm up compile on a small call
+    t0 = time.perf_counter()
+    fn(model, params, vocab, common_atom_vocab, zs[:4], greedy=True,
+       max_decode_step=150, log_steps=False)
+    print(f'warmup(4): {time.perf_counter()-t0:.1f}s', flush=True)
+
+    # patch kernel propose to time it (kernel now exists in cache)
+    kern = dec_mod._get_kernel(dec_mod.MotifDecodeKernel, model, params,
+                               vocab.mask, 5)
+    orig_propose = kern.propose
+
+    def timed_propose(*args):
+        t0 = time.perf_counter()
+        out = orig_propose(*args)
+        out = tuple(np.asarray(o) for o in out)  # force fetch here
+        propose_time[0] += time.perf_counter() - t0
+        prof_rounds.append(time.perf_counter() - t0)
+        return out
+    kern.propose = timed_propose
+
+    t0 = time.perf_counter()
+    if args.profile:
+        pr = cProfile.Profile()
+        pr.enable()
+    results, smiles = fn(model, params, vocab, common_atom_vocab, zs,
+                         greedy=True, max_decode_step=150, log_steps=False)
+    if args.profile:
+        pr.disable()
+    wall = time.perf_counter() - t0
+    ok = sum(1 for s in smiles if s)
+    print(f'{args.mode}: {len(zs)} mols in {wall:.1f}s = '
+          f'{len(zs)/wall:.1f} mols/sec ({ok} non-None)', flush=True)
+    print(f'  propose calls: {len(prof_rounds)}, total {propose_time[0]:.1f}s '
+          f'({[round(x,2) for x in prof_rounds[:20]]})', flush=True)
+    print(f'  replay total: {replay_time[0]:.1f}s', flush=True)
+    if args.profile:
+        s = io.StringIO()
+        ps = pstats.Stats(pr, stream=s).sort_stats('cumulative')
+        ps.print_stats(30)
+        print(s.getvalue())
 
 
 if __name__ == '__main__':
