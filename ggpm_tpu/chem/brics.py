@@ -67,10 +67,17 @@ def _L3(mol, i, j):
 
 
 def _L4(mol, i, j):
-    # [C;!D1;!$(C=*)]-;!@[#6]: sp3-ish carbon attached to carbon
-    return (_sym(mol, i) == 'C' and not _arom(mol, i) and mol.degree(i) > 1
-            and not any(b.order > 1 for b in mol.bonds_of(i))
-            and _sym(mol, j) == 'C')
+    # [C;!D1;!$(C=*)]-;!@[#6]: non-terminal carbon with no multiple bonds
+    # and a single non-ring bond to SOME carbon.  The [#6] is a neighbour
+    # requirement of the recursive SMARTS, NOT the cut partner — L4 pairs
+    # with L3's oxygen across the cut (RDKit reactionDefs row L3).
+    if (_sym(mol, i) != 'C' or _arom(mol, i) or mol.degree(i) <= 1
+            or any(b.order > 1 for b in mol.bonds_of(i))):
+        return False
+    return any(b.order == 1 and not b.aromatic
+               and not mol.bond_in_ring(i, b.other(i))
+               and _sym(mol, b.other(i)) == 'C'
+               for b in mol.bonds_of(i))
 
 
 def _L5(mol, i, j):
@@ -95,9 +102,13 @@ def _L6(mol, i, j):
 
 
 def _L7(mol, i, j):
-    # [C;D2,D3]-[#6]: one end of an exocyclic C=C double bond
+    # [C;D2,D3]-[#6]: one end of a cleavable C=C double bond; must carry a
+    # SINGLE bond to some carbon besides the double bond itself (the -[#6]
+    # neighbour requirement), so terminal =CH2 ends never match
     return (_sym(mol, i) == 'C' and not _arom(mol, i)
-            and mol.degree(i) in (1, 2, 3) and _sym(mol, j) == 'C')
+            and mol.degree(i) in (2, 3)
+            and any(b.order == 1 and _sym(mol, b.other(i)) == 'C'
+                    for b in mol.bonds_of(i)))
 
 
 def _L8(mol, i, j):

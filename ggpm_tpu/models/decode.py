@@ -538,6 +538,7 @@ def decode_hier(model, params, vocab: PairVocab, avocab: Vocab,
 _ASSM_TABLES_CACHE: dict = {}
 
 ORACLE_SLOTS = 24          # motifs larger than this get no-opinion treatment
+ORACLE_ATOMS = 1024        # per-sample atom-id capacity of the device oracle
 _FV_BIG = 63               # "unlimited valence" sentinel (max_valence == 0)
 
 
@@ -637,9 +638,13 @@ def _assm_tables(vocab: PairVocab, avocab: Vocab):
             if mv == 0:
                 bfv[i, j] = _FV_BIG
             else:
+                # NO explicit-H subtraction: grafted atoms are created by
+                # copy_atom, which keeps symbol/charge only (chem/api.py:126)
+                # — the shared mol's atoms always have explicit_h None, and
+                # try_add_mol's valence test sees (explicit_h or 0) == 0
                 bonded = sum(b.order for b in emol.bonds
                              if b.a1 == j or b.a2 == j)
-                bfv[i, j] = max(mv - bonded - (a.explicit_h or 0), 0)
+                bfv[i, j] = max(mv - bonded, 0)
         for b in emol.bonds:
             adj[i, b.a1, b.a2] = b.order
             adj[i, b.a2, b.a1] = b.order
@@ -680,10 +685,29 @@ def _assm_tables(vocab: PairVocab, avocab: Vocab):
                         break            # single endpoint: count once
         apbond[i] = adj[i, a0, a1] if isz >= 2 else 0
 
+    # newrank[i, j]: when motif i is grafted, non-attach atoms receive
+    # sequential new mol ids in motif-atom order (add_mol's enumerate loop,
+    # inc_graph.py:155-178) — newrank is each slot's rank among them.
+    # is_att[i, j]: slot j is an attachment endpoint (maps onto an existing
+    # parent atom instead of allocating a new one).
+    newrank = np.zeros((n, S), np.int32)
+    is_att = np.zeros((n, S), bool)
+    for i in range(n):
+        att = {int(appos[i, 0])}
+        if isz_t[i] >= 2:
+            att.add(int(appos[i, 1]))
+        r = 0
+        for j in range(S):
+            if j in att and n_at[i] > 0:
+                is_att[i, j] = True
+            else:
+                newrank[i, j] = r
+                r += 1
     tabs = {k: jnp.asarray(v) for k, v in dict(
         n_at=n_at, isz=isz_t, fail=fail, noop=noop, sym=sym, stype=stype,
         bused=bused, bfv=bfv, adj=adj.astype(np.int32), appos=appos,
-        apbond=apbond, needs=needs, ctype=ctype).items()}
+        apbond=apbond, needs=needs, ctype=ctype, newrank=newrank,
+        is_att=is_att).items()}
     _ASSM_TABLES_CACHE[id(vocab)] = (weakref.ref(vocab), tabs)
     return tabs
 

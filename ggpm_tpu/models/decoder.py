@@ -575,7 +575,7 @@ class MotifDecoder(nn.Module):
         backtrack) and the committed icls — plus root_cls [B],
         root_icls [B]).
         """
-        from .decode import hier_topk
+        from .decode import hier_topk, ORACLE_ATOMS
         batch_size = root_vecs.shape[0]
         T = u_seq.shape[0]
         n_nodes = T + 2                       # every expand consumes a step
@@ -595,13 +595,21 @@ class MotifDecoder(nn.Module):
                                axis=-1).astype(jnp.int32)
 
         S = tabs['stype'].shape[1]
+        A = ORACLE_ATOMS
         ar = jnp.arange(batch_size)
         clab = jnp.zeros((batch_size, n_nodes), jnp.int32).at[:, 0].set(root_cls)
         ilab = jnp.zeros((batch_size, n_nodes), jnp.int32).at[:, 0].set(root_icls)
         slot_used = jnp.zeros((batch_size, n_nodes, S),
                               bool).at[:, 0].set(tabs['bused'][root_icls])
-        slot_fv = jnp.zeros((batch_size, n_nodes, S),
-                            jnp.int32).at[:, 0].set(tabs['bfv'][root_icls])
+        # free valence is a property of the underlying MOL ATOM, which is
+        # shared between a parent cluster and the child grafted onto it —
+        # track it per sample-local atom id (mirroring add_mol's numbering)
+        # with a per-node slot→atom map, NOT per (node, slot)
+        atom_fv = jnp.zeros((batch_size, A),
+                            jnp.int32).at[:, :S].set(tabs['bfv'][root_icls])
+        slot_atom = jnp.zeros((batch_size, n_nodes, S), jnp.int32) \
+            .at[:, 0, :].set(jnp.arange(S)[None, :])
+        atom_cnt = tabs['n_at'][root_icls].astype(jnp.int32)
         node_as2 = jnp.zeros((batch_size, n_nodes), bool)
         node_noop = jnp.zeros((batch_size, n_nodes),
                               bool).at[:, 0].set(tabs['noop'][root_icls])
@@ -614,8 +622,9 @@ class MotifDecoder(nn.Module):
         nxt = jnp.ones((batch_size,), jnp.int32)
 
         def step(carry, inputs):
-            state, clab, ilab, slot_used, slot_fv, node_as2, node_noop, \
-                in_deg, agraph, down_row, stack, sp, nxt = carry
+            state, clab, ilab, slot_used, atom_fv, slot_atom, atom_cnt, \
+                node_as2, node_noop, in_deg, agraph, down_row, stack, sp, \
+                nxt = carry
             t, u, p_op, p_clab, p_ilab = inputs
             active = sp > 0
             v = stack[ar, jnp.maximum(sp - 1, 0)]
@@ -653,7 +662,9 @@ class MotifDecoder(nn.Module):
             p_adj = tabs['adj'][v_il]                          # [B, S, S]
             p_ap = tabs['appos'][v_il]                         # [B, 2]
             p_used = slot_used[ar, v]                          # [B, S]
-            p_fv = slot_fv[ar, v]                              # [B, S]
+            p_slot_atom = slot_atom[ar, v]                     # [B, S]
+            p_fv = jnp.take_along_axis(atom_fv, p_slot_atom,
+                                       axis=1)                 # [B, S]
             p_as2 = node_as2[ar, v]                            # [B]
             p_noop = node_noop[ar, v]                          # [B]
             p_single = p_n <= 1                                # [B]
@@ -838,39 +849,45 @@ class MotifDecoder(nn.Module):
             node_noop = node_noop.at[ar, v].set(node_noop[ar, v] | mispin)
 
             # parent slots: mark used (skipped for singleton parents, which
-            # never consume — inc_graph.py:108-111) and pay the valence
+            # never consume — inc_graph.py:108-111); valence is paid on the
+            # underlying ATOMS, which parent and child clusters share
             curA_used = jnp.take_along_axis(p_used, slotA[:, None], 1)[:, 0]
             curB_used = jnp.take_along_axis(p_used, slotB[:, None], 1)[:, 0]
-            curA_fv = jnp.take_along_axis(p_fv, slotA[:, None], 1)[:, 0]
-            curB_fv = jnp.take_along_axis(p_fv, slotB[:, None], 1)[:, 0]
-            newA_fv = jnp.where(do_c, curA_fv - exA, curA_fv)
-            newB_fv = jnp.where(do_pair, curB_fv - exB, curB_fv)
             slot_used = slot_used.at[ar, v, slotA].set(
                 jnp.where(do_c & (~p_single), True, curA_used))
             slot_used = slot_used.at[ar, v, slotB].set(
                 jnp.where(do_pair & (~p_single), True, curB_used))
-            slot_fv = slot_fv.at[ar, v, slotA].set(newA_fv)
-            slot_fv = slot_fv.at[ar, v, slotB].set(
-                jnp.where(do_pair, newB_fv, curB_fv))
+            paA = jnp.take_along_axis(p_slot_atom, slotA[:, None], 1)[:, 0]
+            paB = jnp.take_along_axis(p_slot_atom, slotB[:, None], 1)[:, 0]
+            atom_fv = atom_fv.at[ar, paA].add(jnp.where(do_c, -exA, 0))
+            atom_fv = atom_fv.at[ar, paB].add(jnp.where(do_pair, -exB, 0))
 
-            # child node: birth state, anchors inherit the parent atoms'
-            # post-graft free valence (they are the same atoms)
+            # child node: used flags at birth; slot→atom map follows
+            # add_mol's numbering (attach endpoints alias the parent's
+            # chosen atoms, every other slot gets a fresh sequential id)
             ch_used = jnp.where(choose[:, None], tabs['bused'][new_ilab],
                                 slot_used[ar, nn_i])
-            ch_fv = jnp.where(choose[:, None], tabs['bfv'][new_ilab],
-                              slot_fv[ar, nn_i])
             slot_used = slot_used.at[ar, nn_i].set(ch_used)
-            slot_fv = slot_fv.at[ar, nn_i].set(ch_fv)
             ch_ap = tabs['appos'][new_ilab]                    # [B, 2]
-            cur0 = jnp.take_along_axis(
-                slot_fv[ar, nn_i], ch_ap[:, 0:1], 1)[:, 0]
-            cur1 = jnp.take_along_axis(
-                slot_fv[ar, nn_i], ch_ap[:, 1:2], 1)[:, 0]
-            slot_fv = slot_fv.at[ar, nn_i, ch_ap[:, 0]].set(
-                jnp.where(do_c, newA_fv, cur0))
-            slot_fv = slot_fv.at[ar, nn_i, ch_ap[:, 1]].set(
-                jnp.where(do_pair, newB_fv,
-                          jnp.where(do_c & (~is2), newA_fv, cur1)))
+            isz2c = tabs['isz'][new_ilab] >= 2
+            ch_bfv = tabs['bfv'][new_ilab]                     # [B, S]
+            sidxS = jnp.arange(S)[None, :]
+            ch_new_atom = jnp.minimum(
+                atom_cnt[:, None] + tabs['newrank'][new_ilab], A - 1)
+            ch_atom = jnp.where(
+                sidxS == ch_ap[:, 0:1], paA[:, None],
+                jnp.where(isz2c[:, None] & (sidxS == ch_ap[:, 1:2]),
+                          paB[:, None], ch_new_atom))
+            slot_atom = slot_atom.at[ar, nn_i].set(
+                jnp.where(choose[:, None], ch_atom, slot_atom[ar, nn_i]))
+            # birth free valences for the NEW atoms only (attach slots keep
+            # the shared atom's already-decremented value)
+            ch_valid = sidxS < tabs['n_at'][new_ilab][:, None]
+            wmask = do_c[:, None] & ch_valid & (~tabs['is_att'][new_ilab])
+            wtgt = jnp.where(wmask, ch_atom, A - 1)
+            atom_fv = atom_fv.at[ar[:, None], wtgt].set(ch_bfv)
+            n_new = tabs['n_at'][new_ilab] - 1 - isz2c.astype(jnp.int32)
+            atom_cnt = atom_cnt + jnp.where(do_c, jnp.maximum(n_new, 0), 0)
             # grafted-onto-existing-bond marker: add_mol records the anchor
             # pair as used when the bond pre-exists (inc_graph.py:195-196)
             as2_child = do_pair & (tabs['apbond'][new_ilab] > 0) & \
@@ -883,18 +900,22 @@ class MotifDecoder(nn.Module):
 
             j_pack = jnp.where(free & choose,
                                jnp.where(any_feas, j_star, -1), 0)
+            feas_bits = (feasible.astype(jnp.int32) *
+                         (1 << jnp.arange(feasible.shape[1]))).sum(axis=1)
             packed = jnp.concatenate(
                 [topo_logits[:, None], choose.astype(jnp.float32)[:, None],
                  scores, cls_k.astype(jnp.float32),
                  icls_k.astype(jnp.float32),
                  j_pack.astype(jnp.float32)[:, None],
-                 new_ilab.astype(jnp.float32)[:, None]], axis=1)
-            return (state, clab, ilab, slot_used, slot_fv, node_as2,
-                    node_noop, in_deg, agraph, down_row, stack, sp, nxt), \
-                packed
+                 new_ilab.astype(jnp.float32)[:, None],
+                 feas_bits.astype(jnp.float32)[:, None]], axis=1)
+            return (state, clab, ilab, slot_used, atom_fv, slot_atom,
+                    atom_cnt, node_as2, node_noop, in_deg, agraph, down_row,
+                    stack, sp, nxt), packed
 
-        carry0 = (state, clab, ilab, slot_used, slot_fv, node_as2,
-                  node_noop, in_deg, agraph, down_row, stack, sp, nxt)
+        carry0 = (state, clab, ilab, slot_used, atom_fv, slot_atom, atom_cnt,
+                  node_as2, node_noop, in_deg, agraph, down_row, stack, sp,
+                  nxt)
         xs = (jnp.arange(T, dtype=jnp.int32), u_seq, pin_op, pin_clab,
               pin_ilab)
         _, packed = jax.lax.scan(step, carry0, xs)

@@ -32,6 +32,10 @@ def main():
     args = ap.parse_args()
 
     import jax
+    if 'cpu' in os.environ.get('JAX_PLATFORMS', ''):
+        # the env var alone does not stop the axon plugin from initialising
+        # (and hanging on a wedged tunnel); select cpu via config
+        jax.config.update('jax_platforms', 'cpu')
     import jax.numpy as jnp
     import numpy as np
 

@@ -245,3 +245,93 @@ def test_datafolder_shards_disjoint_and_cover(tmp_path):
     for i in range(k):
         for j in range(i + 1, k):
             assert not set(seen[i]) & set(seen[j])
+
+
+# ---- external-validation goldens (VERDICT r2 item 7) -----------------------
+# BRICS: decompositions published in the RDKit "Getting Started" docs and
+# reproducible with rdkit.Chem.BRICS.BRICSDecompose; our fragments drop the
+# [n*] dummy attachment atoms (chem/brics.py module docstring), so the
+# goldens below are the documented outputs with dummies stripped and
+# canonicalised.  SA: the Ertl-Schuffenhauer paper (J Cheminform 2009, 1:8)
+# fixes the complexity-penalty FORMULA; fragment contributions here are
+# corpus-fitted (not PubChem), so goldens check the published structural
+# components and orderings rather than absolute RDKit values.
+
+def test_brics_golden_rdkit_doc_example():
+    """RDKit docs: BRICSDecompose('CCCOCc1cc(-c2ccccn2)ccc1') ==
+    ['[14*]c1ccccn1', '[16*]c1cccc([16*])c1', '[3*]O[3*]', '[4*]CCC',
+     '[4*]C[8*]']  (dummy-stripped below)."""
+    from ggpm_tpu.chem.brics import brics_decompose
+    got = sorted(brics_decompose('CCCOCc1cc(-c2ccccn2)ccc1'))
+    assert got == ['C', 'CCC', 'O', 'c1ccccc1', 'c1ccncc1']
+
+
+def test_brics_golden_no_cleavable_bonds():
+    # benzene has no acyclic cleavable bonds: BRICSDecompose returns the
+    # molecule itself
+    from ggpm_tpu.chem.brics import brics_decompose, find_brics_bonds
+    from ggpm_tpu.chem import get_mol
+    assert brics_decompose('c1ccccc1') == ['c1ccccc1']
+    assert find_brics_bonds(get_mol('c1ccccc1')) == []
+    # plain alkanes never cut either (L4/L8 need a partner environment)
+    assert brics_decompose('CCCCCC') == ['CCCCCC']
+
+
+def test_brics_golden_aspirin():
+    """rdkit BRICSDecompose('CC(=O)Oc1ccccc1C(=O)O') == ['[16*]c1ccccc1[16*]',
+    '[1*]C(C)=O', '[3*]O[3*]', '[6*]C(=O)O'] (L1-L3 ester, L3-L16 aryl ester
+    oxygen, L6-L16 aryl acid cuts; dummy-stripped)."""
+    from ggpm_tpu.chem.brics import brics_decompose
+    got = sorted(brics_decompose('CC(=O)Oc1ccccc1C(=O)O'))
+    assert got == ['CC=O', 'O', 'O=CO', 'c1ccccc1']
+
+
+def test_brics_golden_double_bond_rule():
+    # the ONLY double-bond rule is L7-L7; stilbene's C=C cuts, styrene's
+    # terminal =CH2 does not ([C;D2,D3] excludes D1 ends)
+    from ggpm_tpu.chem.brics import brics_decompose
+    assert sorted(brics_decompose('C(=Cc1ccccc1)c1ccccc1')) == \
+        ['Cc1ccccc1', 'Cc1ccccc1']
+    assert brics_decompose('C=Cc1ccccc1') == ['C=Cc1ccccc1']
+
+
+def test_sa_golden_formula_components():
+    """Ertl & Schuffenhauer 2009: complexityPenalty =
+    sizePenalty + stereoPenalty + spiroPenalty + bridgePenalty +
+    macrocyclePenalty (section 'Calculation of SAScore'); verify each term
+    moves the final score the published direction."""
+    from ggpm_tpu.chem import FragmentScores, calculate_sa, get_mol
+    fs = FragmentScores()          # all-zero contributions isolate score2/3
+    sa = lambda s: calculate_sa(get_mol(s), fs)
+
+    # macrocycle penalty: log10(2) only when a ring > 8 atoms exists —
+    # crossing the threshold (8-ring -> 9-ring) outweighs the one-CH2
+    # size/symmetry drift
+    assert sa('C1CCCCCCCC1') > sa('C1CCCCCCC1')
+    # spiro penalty
+    assert sa('C1CCC2(CC1)CCCCC2') > sa('C1CCCCC1C1CCCCC1')
+    # stereo penalty: potential stereocentres raise the score
+    assert sa('CC(N)C(C)O') > sa('CC(C)C(C)C')
+    # (no long-chain size assertion: the paper's symmetry bonus legitimately
+    # dominates the size penalty for repetitive chains — they ARE easy to
+    # make — matching RDKit sascorer behaviour)
+    # bounds from the paper: scores live in [1, 10]
+    for s in ('C', 'c1ccccc1', 'C1CCC2(CC1)CCCCC2', 'C' * 60):
+        assert 1.0 <= sa(s) <= 10.0
+
+
+def test_sa_golden_ordering_fitted():
+    """Ertl paper Fig. 4/5 premise: simple drug-like molecules score low,
+    bridged/stereo-rich natural-product-like molecules score high.  Fit
+    contributions on a common corpus and check the ordering."""
+    from ggpm_tpu.chem import FragmentScores, calculate_sa, get_mol
+    corpus = ['CCO', 'CCN', 'c1ccccc1', 'CC(=O)Oc1ccccc1C(=O)O',
+              'c1ccc2ccccc2c1', 'CC(C)Cc1ccc(C(C)C(=O)O)cc1',
+              'CCCCCC', 'c1ccncc1', 'CC(N)Cc1ccccc1', 'O=C(O)CCC(=O)O']
+    fs = FragmentScores.fit([get_mol(s) for s in corpus])
+    easy = calculate_sa(get_mol('CC(=O)Oc1ccccc1C(=O)O'), fs)   # aspirin
+    # morphine: fused 5-ring system, 5 stereocentres, rare fragments
+    hard = calculate_sa(
+        get_mol('CN1CCC23c4c5ccc(O)c4OC2C(O)C=CC3C1C5'), fs)
+    assert easy < hard
+    assert hard > 6.0 and easy < 5.0
