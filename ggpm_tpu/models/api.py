@@ -65,11 +65,16 @@ def sample(model, params, vocab: PairVocab, batch_size: int,
 
 def reconstruct_enum_roots(model, params, smiles_list, vocab: PairVocab,
                            avocab=common_atom_vocab, max_roots: int = 6,
-                           max_decode_step: int = 150, **kwargs):
+                           max_decode_step: int = 150,
+                           decode_batch: int = 120, **kwargs):
     """Robust reconstruction via root enumeration (the reference's
     MolEnumRootDataset protocol, dataset.py:46-75 + vae_test harness):
     re-root each input SMILES at its leaves, encode/decode every rooting, and
     report success if any decode reproduces the molecule.
+
+    All molecules' rootings are pooled and decoded in fixed-size batches
+    (padded by repetition) so the whole evaluation compiles at most two
+    decode shapes instead of one per molecule.
 
     Returns [(original, best_decode, matched_bool)].
     """
@@ -78,29 +83,51 @@ def reconstruct_enum_roots(model, params, smiles_list, vocab: PairVocab,
     from ..graph.chemutils import get_leaves
     from ..graph.mol_graph import tensorize
 
-    out = []
-    for smiles in smiles_list:
+    variants, src = [], []
+    for i, smiles in enumerate(smiles_list):
         mol = get_mol(smiles)
         if mol is None:
-            out.append((smiles, None, False))
             continue
         roots = get_leaves(mol)[:max_roots]
-        variants = sorted({mol_to_smiles(mol, root=i) for i in roots}) or [smiles]
-        safe = prune_to_vocab([[v, None, None] for v in variants], vocab,
-                              verbose=False)
-        if not safe:
-            out.append((smiles, None, False))
-            continue
-        mb = tensorize(safe, vocab, avocab)
+        vs = sorted({mol_to_smiles(mol, root=r) for r in roots}) or [smiles]
+        for row in prune_to_vocab([[v, None, None] for v in vs], vocab,
+                                  verbose=False):
+            variants.append(row[0])
+            src.append(i)
+
+    zs = []
+    for i in range(0, len(variants), 64):
+        chunk = variants[i:i + 64]
+        mb = tensorize([[v, None, None] for v in chunk], vocab, avocab)
         batch = jax.tree.map(jnp.asarray,
                              to_model_batch(mb, vocab.mask, pad=False))
         z, _ = encode(model, params, batch, perturb=False)
-        _, decoded = decode_best(model, params, vocab, avocab, np.asarray(z),
-                                 greedy=True, max_decode_step=max_decode_step,
-                                 log_steps=False, **kwargs)
+        zs.append(np.asarray(z))
+    z_all = (np.concatenate(zs) if zs
+             else np.zeros((0, model.cfg.latent_size), np.float32))
+
+    decoded: list = []
+    for i in range(0, len(z_all), decode_batch):
+        zb = z_all[i:i + decode_batch]
+        n = zb.shape[0]
+        if n < decode_batch and len(z_all) > decode_batch:
+            # pad the straggler batch by repetition: keeps ONE compiled
+            # decode shape for the whole evaluation
+            zb = np.concatenate([zb, np.repeat(zb[-1:], decode_batch - n, 0)])
+        _, sm = decode_best(model, params, vocab, avocab, zb, greedy=True,
+                            max_decode_step=max_decode_step,
+                            log_steps=False, **kwargs)
+        decoded += list(sm[:n])
+
+    by_src: dict = {}
+    for v_idx, s_idx in enumerate(src):
+        by_src.setdefault(s_idx, []).append(v_idx)
+    out = []
+    for i, smiles in enumerate(smiles_list):
         target = canon_smiles(smiles)
         best, matched = None, False
-        for d in decoded:
+        for v_idx in by_src.get(i, []):
+            d = decoded[v_idx]
             if d is None:
                 continue
             if best is None:

@@ -39,6 +39,12 @@ def main():
                          'test split the reference ships but never uses)')
     ap.add_argument('--eval-limit', type=int, default=0,
                     help='cap the --eval-data set size')
+    ap.add_argument('--enum-root', type=int, default=6,
+                    help='also evaluate reconstruction with the enum-root '
+                         'protocol (reference MolEnumRootDataset, '
+                         'dataset.py:46-75): re-root each eval molecule at '
+                         'up to N leaves and count success if ANY rooting '
+                         'round-trips; 0 disables')
     ap.add_argument('--dump-recon', default=None,
                     help='write original,reconstructed,org_homo,org_lumo,'
                          'homo,lumo CSV (reference reconstruct.py:78-97 '
@@ -242,6 +248,17 @@ def main():
     matches = sum(1 for o, d in recon_pairs
                   if d and canon_smiles(o) == canon_smiles(d))
     qual['recon_accuracy'] = matches / max(len(recon_pairs), 1)
+    if args.enum_root and kept:
+        from ggpm_tpu.models.api import reconstruct_enum_roots
+        t_enum = time.time()
+        enum_out = reconstruct_enum_roots(
+            model, params, [r[0] for r in kept], vocab, common_atom_vocab,
+            max_roots=args.enum_root, max_decode_step=150)
+        qual['recon_accuracy_enum_root'] = (
+            sum(1 for _, _, m in enum_out if m) / len(enum_out))
+        qual['enum_root_seconds'] = round(time.time() - t_enum, 1)
+        print(f'enum-root recon: {qual["recon_accuracy_enum_root"]:.3f} '
+              f'({qual["enum_root_seconds"]}s)', flush=True)
     qual['HOMO_MAE'] = float(np.mean(homo_err)) if homo_err else None
     qual['LUMO_MAE'] = float(np.mean(lumo_err)) if lumo_err else None
     qual['train_metrics'] = {k: round(float(v), 4) for k, v in ev.items()}

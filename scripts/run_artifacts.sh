@@ -46,7 +46,7 @@ steps=${*:-bench mfu hopv_test curated_test optimize_curated parity}
 for s in $steps; do
   case $s in
     bench)
-      run bench_r2 900 python bench.py ;;
+      run bench_r3 900 python bench.py ;;
     mfu)
       run mfu 2400 python scripts/mfu_bench.py --seconds 8 ;;
     hopv_test)

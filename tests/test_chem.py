@@ -210,9 +210,11 @@ def test_fragment_scores_roundtrip(tmp_path):
 # --- BRICS fragmentation (chem/brics.py) ------------------------------------
 
 def test_brics_ether_cut():
+    # both ether bonds cut: L3-L4 (O-CCC) and L3-L16 (O-aryl), as RDKit's
+    # BRICSDecompose does ('[3*]O[3*]', '[4*]CCC', '[16*]c1ccccc1')
     from ggpm_tpu.chem import brics_decompose
     frags = brics_decompose('CCCOc1ccccc1')
-    assert sorted(frags) == ['CCCO', 'c1ccccc1']
+    assert sorted(frags) == ['CCC', 'O', 'c1ccccc1']
 
 
 def test_brics_no_ring_bond_cut():
