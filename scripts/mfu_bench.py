@@ -26,6 +26,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 V5E_PEAK_FLOPS = {'bfloat16': 197e12, 'float32': 98.5e12}  # one chip
+V5E_HBM_BW = 820e9       # bytes/sec, one v5e chip
 
 
 def count_matmul_flops(jaxpr) -> float:
@@ -62,6 +63,40 @@ def count_matmul_flops(jaxpr) -> float:
                 sub = params.get(pname)
                 if sub is not None:
                     total += count_matmul_flops(getattr(sub, 'jaxpr', sub))
+                    break
+    return total
+
+
+def count_gather_bytes(jaxpr) -> float:
+    """HBM bytes moved by gather/scatter row traffic (output side), the
+    roofline-limiting term of the MPN depth loop (docs/MPN_ROOFLINE.md:
+    after the algebraic restructure the loop is gather-bandwidth-bound,
+    so MBU over this term — not MFU — is the utilisation number that can
+    approach 1.0).  Matmul/elementwise traffic is excluded: XLA fuses most
+    of it, and the gathers cannot fuse."""
+    total = 0.0
+    for eqn in jaxpr.eqns:
+        prim = eqn.primitive.name
+        params = eqn.params or {}
+        if prim == 'gather':
+            out = eqn.outvars[0].aval
+            total += out.size * out.dtype.itemsize
+        elif prim.startswith('scatter'):
+            upd = eqn.invars[-1].aval    # update rows read + written back
+            total += upd.size * upd.dtype.itemsize * 2
+        elif prim == 'scan':
+            total += count_gather_bytes(params['jaxpr'].jaxpr) \
+                * params['length']
+        elif prim == 'while':
+            total += count_gather_bytes(params['body_jaxpr'].jaxpr)
+        elif 'branches' in params:
+            total += max(count_gather_bytes(b.jaxpr)
+                         for b in params['branches'])
+        else:
+            for pname in ('jaxpr', 'call_jaxpr', 'fun_jaxpr'):
+                sub = params.get(pname)
+                if sub is not None:
+                    total += count_gather_bytes(getattr(sub, 'jaxpr', sub))
                     break
     return total
 
@@ -146,12 +181,14 @@ def main():
         # matmul FLOPs per optimizer step from the step jaxpr (MXU
         # roofline; see count_matmul_flops for why not cost_analysis)
         flops = None
+        gbytes = None
         try:
             rng = jax.random.PRNGKey(0)
             jx = jax.make_jaxpr(
                 lambda p, o, b, r: trainer.step_fn(p, o, b, r))(
                 params, opt_state, dev[0], rng)
             flops = count_matmul_flops(jx.jaxpr)
+            gbytes = count_gather_bytes(jx.jaxpr)
         except Exception as e:
             print('flop count unavailable:', e)
 
@@ -180,11 +217,14 @@ def main():
         mols_sec = steps_sec * bs
         peak = V5E_PEAK_FLOPS[dtype]
         mfu = (flops * steps_sec / peak) if flops else None
+        mbu = (gbytes * steps_sec / V5E_HBM_BW) if gbytes else None
         row = {'config': name, 'hidden': hidden, 'dtype': dtype, 'batch': bs,
                'steps_per_sec': round(steps_sec, 2),
                'mols_per_sec': round(mols_sec, 1),
                'flops_per_step': flops, 'peak_flops': peak,
-               'mfu': round(mfu, 4) if mfu is not None else None}
+               'mfu': round(mfu, 4) if mfu is not None else None,
+               'gather_bytes_per_step': gbytes,
+               'mbu_gather': round(mbu, 4) if mbu is not None else None}
         rows.append(row)
         print(row, flush=True)
 
