@@ -539,6 +539,12 @@ _ASSM_TABLES_CACHE: dict = {}
 
 ORACLE_SLOTS = 24          # motifs larger than this get no-opinion treatment
 ORACLE_ATOMS = 1024        # per-sample atom-id capacity of the device oracle
+
+# diagnostics of the LAST decode_motif_turbo call: rounds used, batch size,
+# per-round pending counts, and how many samples fell back to the exact
+# host-interleaved path.  With an exact oracle a trained model resolves in
+# 1 round with 0 fallbacks (asserted by tests/test_decode.py).
+TURBO_STATS: dict = {}
 _FV_BIG = 63               # "unlimited valence" sentinel (max_valence == 0)
 
 
@@ -849,8 +855,12 @@ def decode_motif_turbo(model, params, vocab: PairVocab, avocab: Vocab,
     smiles_out: List[Optional[str]] = [None] * batch_size
     results: List[list] = [[] for _ in range(batch_size)]
     pending = list(range(batch_size))
+    TURBO_STATS.update(rounds=0, batch=batch_size, fallbacks=0,
+                       pending_per_round=[])
 
     for rnd in range(max_rounds):
+        TURBO_STATS['rounds'] = rnd + 1
+        TURBO_STATS['pending_per_round'].append(len(pending))
         # compact: later rounds run the propose scan only over still-pending
         # samples.  Exactly TWO column shapes ever compile (full batch and a
         # 16-wide straggler shape) — the scan is column-independent, and
@@ -889,6 +899,7 @@ def decode_motif_turbo(model, params, vocab: PairVocab, avocab: Vocab,
         if not pending:
             break
 
+    TURBO_STATS['fallbacks'] = len(pending)
     if pending:
         # round cap hit: the stragglers have deep divergence chains, where
         # the exact batched path is cheaper (T per-step calls shared by all

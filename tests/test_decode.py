@@ -208,3 +208,23 @@ def test_decode_kernel_cached_across_calls(tiny_model_setup):
                  common_atom_vocab, z, greedy=True,
                  max_decode_step=5, log_steps=False)
     assert len(dec_mod._KERNEL_CACHE) == size
+
+
+def test_turbo_oracle_resolves_in_one_round(tiny_model_setup):
+    """The per-atom valence oracle is exact: the device commits the same
+    beam chemistry would, so every sample resolves in the FIRST propose
+    round with zero exact-path fallbacks (the whole point of the turbo
+    formulation — one device call + one fetch for the whole batch)."""
+    from ggpm_tpu.models.decode import TURBO_STATS, decode_motif_turbo
+    st = tiny_model_setup
+    model, params, vocab = st['model'], st['params'], st['vocab']
+    mb = st['batches'][0]
+    batch = jax.tree.map(jnp.asarray, to_model_batch(mb, vocab.mask, pad=False))
+    z, _ = model.apply(params, batch['tree'],
+                       method=lambda m, tree: m.encode_latent(tree, perturb=False))
+    _, smiles = decode_motif_turbo(model, params, vocab, common_atom_vocab,
+                                   np.asarray(z), greedy=True,
+                                   max_decode_step=60)
+    assert any(s is not None for s in smiles)
+    assert TURBO_STATS['rounds'] == 1, TURBO_STATS
+    assert TURBO_STATS['fallbacks'] == 0, TURBO_STATS
