@@ -39,6 +39,11 @@ def main(argv=None):
     parser.add_argument('--patience-threshold', type=float, default=None)
     parser.add_argument('--patience', type=int, default=None)
     parser.add_argument('--batch-size', type=int, default=20)
+    parser.add_argument('--fast-decode', action='store_true',
+                        help='use the device-resident turbo decode (one '
+                             'device call per round instead of per step); '
+                             'identical SMILES output, but no per-step '
+                             'logs in logs.pkl')
     args = parser.parse_args(argv)
 
     configs = Configs(path=args.path_to_config)
@@ -64,7 +69,14 @@ def main(argv=None):
 
     latent_opt = LatentOptimizer(model, params, **opt)
     is_hier = args.model_type.startswith('hier')
-    decode_fn = decode_hier if is_hier else decode_motif
+    if args.fast_decode:
+        from ..models.decode import decode_best
+
+        def decode_fn(*a, **kw):
+            kw['log_steps'] = False
+            return decode_best(*a, **kw)
+    else:
+        decode_fn = decode_hier if is_hier else decode_motif
 
     recon_rows, prop_rows, logs = [], [], []
     for i in range(len(dataset)):

@@ -31,6 +31,11 @@ def main(argv=None):
     parser.add_argument('--model-type', default='prop')
     parser.add_argument('--batch-size', type=int, default=20)
     parser.add_argument('--max-decode-step', type=int, default=150)
+    parser.add_argument('--fast-decode', action='store_true',
+                        help='use the device-resident turbo decode (one '
+                             'device call per round instead of per step); '
+                             'identical SMILES output, but no per-step '
+                             'logs in logs.pkl')
     args = parser.parse_args(argv)
 
     configs = Configs(path=args.path_to_config)
@@ -46,7 +51,14 @@ def main(argv=None):
 
     has_props = args.model_type in ('prop-opt', 'hier-prop-opt')
     is_hier = args.model_type.startswith('hier')
-    decode_fn = decode_hier if is_hier else decode_motif
+    if args.fast_decode:
+        from ..models.decode import decode_best
+
+        def decode_fn(*a, **kw):
+            kw['log_steps'] = False
+            return decode_best(*a, **kw)
+    else:
+        decode_fn = decode_hier if is_hier else decode_motif
     rows, logs = [], []
     for i in range(len(dataset)):
         mb = dataset[i]

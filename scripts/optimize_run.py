@@ -43,7 +43,7 @@ def main():
     from ggpm_tpu.graph.mol_graph import tensorize
     from ggpm_tpu.graph.vocab import common_atom_vocab
     from ggpm_tpu.latent.control import LatentOptimizer
-    from ggpm_tpu.models.decode import decode_motif
+    from ggpm_tpu.models.decode import decode_best
     from ggpm_tpu.models.vae import ModelConfig, PropOptVAE
     from ggpm_tpu.train import checkpoint as ckpt
 
@@ -88,7 +88,7 @@ def main():
         z_opt = opt.optimize(z, ht, lt)
         h1, l1 = model.apply(params, jnp.asarray(z_opt),
                              method=lambda m, zz: m.predict_properties(zz))
-        _, smiles = decode_motif(model, params, vocab, common_atom_vocab,
+        _, smiles = decode_best(model, params, vocab, common_atom_vocab,
                                  np.asarray(z_opt), greedy=True,
                                  max_decode_step=150, log_steps=False)
         originals += [c[0] for c in chunk]

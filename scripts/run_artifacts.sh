@@ -84,8 +84,9 @@ for s in $steps; do
         python scripts/parity_harness.py reference &&
         python scripts/parity_harness.py ours \
           --recon-csv runs/recon_curated_r2.csv \
-          --optimize-json runs/OPTIMIZE_curated_hard.json \
-            runs/OPTIMIZE_hard.json runs/OPTIMIZE_soft.json &&
+          --optimize-json runs/OPTIMIZE_curated_soft.json \
+            runs/OPTIMIZE_curated_patience.json \
+            runs/OPTIMIZE_curated_hard.json &&
         python scripts/parity_harness.py report' ;;
     *) log "unknown step $s" ;;
   esac
