@@ -126,6 +126,21 @@ def _tensorize_chunk(args):
     return out
 
 
+def tensorize_batches(batches: Sequence, vocab, avocab, ncpu: int = 1,
+                      pad: bool = True):
+    """Tensorize (and optionally pad) pre-split molecule batches, fanning
+    out over ``ncpu`` processes (the reference preprocesses with a
+    multiprocessing Pool too, preprocess.py:57-63)."""
+    if ncpu > 1 and len(batches) > ncpu:
+        bs = len(batches) // ncpu + 1
+        chunks = [(list(batches[i:i + bs]), vocab, avocab, pad)
+                  for i in range(0, len(batches), bs)]
+        with Pool(ncpu) as pool:
+            results = pool.map(_tensorize_chunk, chunks)
+        return [b for r in results for b in r]
+    return _tensorize_chunk((list(batches), vocab, avocab, pad))
+
+
 def preprocess_to_shards(data: Sequence, vocab, avocab, out_dir: str,
                          batch_size: int = 20, batches_per_shard: int = 1000,
                          ncpu: int = 1, seed: int = 1, pad: bool = True) -> int:

@@ -109,13 +109,10 @@ def main():
     else:
         holdout = None
     batch_size = args.batch_size
-    batches = []
-    for i in range(0, len(data) - batch_size + 1, batch_size):
-        try:
-            batches.append(pad_batch(tensorize(data[i:i + batch_size], vocab,
-                                               common_atom_vocab)))
-        except Exception as e:
-            print('tensorize skip:', e, flush=True)
+    from ggpm_tpu.data.vocab_extract import tensorize_batches
+    raw = [data[i:i + batch_size]
+           for i in range(0, len(data) - batch_size + 1, batch_size)]
+    batches = tensorize_batches(raw, vocab, common_atom_vocab, ncpu=8)
     print(f'{len(batches)} train batches in {time.time()-t_start:.0f}s', flush=True)
 
     is_hier = args.model.startswith('hier')
