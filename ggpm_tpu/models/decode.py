@@ -741,7 +741,7 @@ class _ReplayState:
 
 
 def _replay_pinned(trace_b, root_cls_b, root_icls_b, rs: "_ReplayState",
-                   vocab: PairVocab, beam: int):
+                   vocab: PairVocab, beam: int, final: bool = True):
     """Replay one sample's device decision trace with real chemistry,
     resuming from ``rs`` (state after the last resolved divergence; see
     ``_ReplayState``).  Pin ops: 1 = expand committing (clab, ilab),
@@ -755,7 +755,13 @@ def _replay_pinned(trace_b, root_cls_b, root_icls_b, rs: "_ReplayState",
         divergence is resolved the exact path's way (beam retry then
         forced backtrack, reference decoder.py:1037-1089), recorded as the
         last pin in ``rs.pins``, and ``rs`` holds the post-resolution
-        state — re-enter the device with ``rs.pins``."""
+        state — re-enter the device with ``rs.pins``;
+      ``('continue', None)`` — the trace ran out (a short ladder rung)
+        with the DFS stack still alive and ``final=False``: every executed
+        step is pinned in ``rs.pins``; re-enter at a longer rung.  With
+        ``final=True`` the step budget IS max_decode_step and the partial
+        molecule is extracted as-is (reference decoder.py:960 caps t the
+        same way)."""
     tree, graph, stack = rs.tree, rs.graph, rs.stack
 
     if not rs.seeded:
@@ -811,8 +817,11 @@ def _replay_pinned(trace_b, root_cls_b, root_icls_b, rs: "_ReplayState",
                 top = stack[-1]
                 tree.add_edge(child, top, (child, top, tree.in_degree(top)))
             rs.pins.append((2, 0, 0))
+    if stack and not final:
+        return 'continue', None
     smiles = graph.get_smiles()
     return 'done', (smiles[0] if smiles else None)
+
 
 
 def decode_motif_turbo(model, params, vocab: PairVocab, avocab: Vocab,
@@ -820,7 +829,8 @@ def decode_motif_turbo(model, params, vocab: PairVocab, avocab: Vocab,
                        max_decode_step: int = 150, beam: int = 5,
                        max_nodes: int = 400, max_edges: int = 500,
                        rng: Optional[np.random.Generator] = None,
-                       log_steps: bool = False, max_rounds: int = 16):
+                       log_steps: bool = False, max_rounds: int = 16,
+                       ladder: tuple = (64,)):
     """Device-resident speculative decode (motif family).
 
     ONE device call runs the whole autoregressive loop as a ``lax.scan``
@@ -835,6 +845,13 @@ def decode_motif_turbo(model, params, vocab: PairVocab, avocab: Vocab,
     models replay mostly clean (measured ~70-90% of molecules in round 0).
     Stochastic decoding keeps the exact path (its candidate shuffle
     consumes host RNG per step).
+
+    ``ladder``: scan-length rungs below ``max_decode_step``.  Most
+    molecules finish their DFS well under the 150-step budget, so round 0
+    proposes at the first rung; samples whose stack is still alive when a
+    short trace runs out re-enter at a longer rung with the executed
+    prefix pinned — identical results, ~T_rung/T of the scan cost for the
+    common case.
 
     Returns (results, smiles) like ``decode_motif``; per-step logs are only
     produced for fallback samples (``log_steps`` applies there)."""
@@ -856,23 +873,32 @@ def decode_motif_turbo(model, params, vocab: PairVocab, avocab: Vocab,
     results: List[list] = [[] for _ in range(batch_size)]
     pending = list(range(batch_size))
     TURBO_STATS.update(rounds=0, batch=batch_size, fallbacks=0,
-                       pending_per_round=[])
+                       pending_per_round=[], rungs=[])
+    rungs = sorted({min(r, T) for r in ladder} | {T})
 
     for rnd in range(max_rounds):
         TURBO_STATS['rounds'] = rnd + 1
         TURBO_STATS['pending_per_round'].append(len(pending))
+        # scan length for this round: the smallest rung every pending
+        # sample's pinned prefix fits under (strictly — re-entry must make
+        # progress), else the full budget
+        max_pins = max((len(states[b].pins) for b in pending), default=0)
+        T_r = next((r for r in rungs if r > max_pins), T)
+        final = T_r == T
+        TURBO_STATS['rungs'].append(T_r)
         # compact: later rounds run the propose scan only over still-pending
-        # samples.  Exactly TWO column shapes ever compile (full batch and a
-        # 16-wide straggler shape) — the scan is column-independent, and
-        # each extra shape costs a full scan compile on the TPU
+        # samples.  Per rung, exactly TWO column shapes ever compile (full
+        # batch and a 16-wide straggler shape) — the scan is
+        # column-independent, and each extra shape costs a full scan
+        # compile on the TPU
         n_p = len(pending)
         nb = 16 if (rnd and n_p <= 16 and batch_size > 16) else batch_size
         cols = pending + [pending[0]] * (nb - n_p)
         rv_r = jnp.asarray(root_vecs[np.asarray(cols)])
-        u_r = jnp.full((T, nb), 0.5, dtype=jnp.float32)
-        pin_op = np.zeros((T, nb), dtype=np.int32)
-        pin_clab = np.zeros((T, nb), dtype=np.int32)
-        pin_ilab = np.zeros((T, nb), dtype=np.int32)
+        u_r = jnp.full((T_r, nb), 0.5, dtype=jnp.float32)
+        pin_op = np.zeros((T_r, nb), dtype=np.int32)
+        pin_clab = np.zeros((T_r, nb), dtype=np.int32)
+        pin_ilab = np.zeros((T_r, nb), dtype=np.int32)
         for j, b in enumerate(cols[:n_p]):
             for t, (op, clab, ilab) in enumerate(states[b].pins):
                 pin_op[t, j] = op
@@ -890,10 +916,10 @@ def decode_motif_turbo(model, params, vocab: PairVocab, avocab: Vocab,
         for j, b in enumerate(cols[:n_p]):
             status, out = _replay_pinned(
                 packed[:, j, :], root_cls[j], root_icls[j], states[b],
-                vocab, beam)
+                vocab, beam, final=final)
             if status == 'done':
                 smiles_out[b] = out
-            else:                         # 'diverge': pins grew inside rs
+            else:         # 'diverge'/'continue': pins grew inside rs
                 still.append(b)
         pending = still
         if not pending:

@@ -228,3 +228,25 @@ def test_turbo_oracle_resolves_in_one_round(tiny_model_setup):
     assert any(s is not None for s in smiles)
     assert TURBO_STATS['rounds'] == 1, TURBO_STATS
     assert TURBO_STATS['fallbacks'] == 0, TURBO_STATS
+
+
+def test_turbo_ladder_escalation_matches_exact(tiny_model_setup):
+    """A deliberately tiny first rung forces the 'continue' path: traces
+    run out mid-DFS, every executed step re-enters pinned at the next
+    rung — results must stay identical to the exact path."""
+    from ggpm_tpu.models.decode import TURBO_STATS, decode_motif_turbo
+    st = tiny_model_setup
+    model, params, vocab = st['model'], st['params'], st['vocab']
+    mb = st['batches'][0]
+    batch = jax.tree.map(jnp.asarray, to_model_batch(mb, vocab.mask, pad=False))
+    z, _ = model.apply(params, batch['tree'],
+                       method=lambda m, tree: m.encode_latent(tree, perturb=False))
+    z = np.asarray(z)
+    _, s_exact = decode_motif(model, params, vocab, common_atom_vocab, z,
+                              greedy=True, max_decode_step=60, log_steps=False)
+    _, s_turbo = decode_motif_turbo(model, params, vocab, common_atom_vocab,
+                                    z, greedy=True, max_decode_step=60,
+                                    ladder=(4, 16))
+    assert s_turbo == s_exact
+    assert TURBO_STATS['rungs'][0] == 4          # short rung actually used
+    assert len(TURBO_STATS['rungs']) >= 2        # and escalation happened
