@@ -10,7 +10,7 @@ learned compute path lives in ``ggpm_tpu.models`` as JAX/Pallas code.
 from .api import (atom_equal, bond_match, canon_smiles, copy_atom,
                   copy_edit_mol, get_clique_mol, get_mol, get_mol_shared, get_smiles, valid_fast,
                   get_smiles_aromatic, get_sub_mol, sanitize,
-                  sanitize_in_place)
+                  sanitize_in_place, sanitize_smiles_fast)
 from .brics import brics_decompose, brics_fragments, find_brics_bonds
 from .canon import canonical_ranks
 from .fingerprint import morgan_bits, tanimoto, tanimoto_smiles
@@ -23,7 +23,8 @@ __all__ = [
     'Atom', 'Bond', 'Mol', 'SINGLE', 'DOUBLE', 'TRIPLE', 'AROMATIC',
     'BOND_TYPES', 'mol_from_smiles', 'mol_to_smiles', 'canonical_ranks',
     'get_mol', 'get_mol_shared', 'get_smiles', 'valid_fast', 'get_smiles_aromatic', 'canon_smiles',
-    'sanitize', 'sanitize_in_place', 'get_sub_mol', 'get_clique_mol',
+    'sanitize', 'sanitize_in_place', 'sanitize_smiles_fast',
+    'get_sub_mol', 'get_clique_mol',
     'copy_edit_mol', 'copy_atom', 'atom_equal', 'bond_match',
     'morgan_bits', 'tanimoto', 'tanimoto_smiles',
     'brics_decompose', 'brics_fragments', 'find_brics_bonds',

@@ -89,6 +89,27 @@ def valid_fast(mol: Mol) -> bool:
     return sanitize_in_place(mol)
 
 
+def sanitize_smiles_fast(mol: Mol) -> Optional[str]:
+    """Sanitize + canonical aromatic SMILES in ONE native call (None when
+    the molecule is chemically invalid).  The previous hot path paid a
+    Python ``sanitize_in_place`` (valence + aromaticity perception) AND a
+    second sanitize inside the native canon; this fuses them — the
+    dominant cost of per-sample SMILES extraction after decode."""
+    if _USE_NATIVE:
+        from . import native
+        if native.available():
+            try:
+                raw = mol_to_smiles(mol, kekule=True, canonical=False)
+            except Exception:
+                raw = None
+            if raw is not None:
+                # native is available, so None here = sanitize REJECTED
+                return native.canon_smiles_native(raw, kekule=False)
+    if sanitize_in_place(mol):
+        return mol_to_smiles(mol, kekule=False)
+    return None
+
+
 def get_smiles(mol: Mol) -> str:
     """Canonical kekulé SMILES (reference ``get_smiles``, chemutils.py:24-25)."""
     fast = _native_canon(mol, kekule=True)

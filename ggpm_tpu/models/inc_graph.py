@@ -15,8 +15,8 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from ..chem import Atom, Mol, atom_equal, bond_match, copy_atom, get_mol, \
-    get_mol_shared, \
-    get_smiles_aromatic, get_sub_mol, sanitize_in_place, valid_fast
+    get_mol_shared, get_smiles_aromatic, get_sub_mol, sanitize_in_place, \
+    sanitize_smiles_fast, valid_fast
 from ..graph.chemutils import get_anchor_smiles
 
 
@@ -139,8 +139,7 @@ class IncGraph(IncBase):
         for bid, atoms in self.batch.items():
             sub = get_sub_mol(self.mol, atoms)
             sub.set_atom_maps(0)
-            if sanitize_in_place(sub):
-                out[bid] = get_smiles_aromatic(sub)
+            out[bid] = sanitize_smiles_fast(sub)
         return out
 
     def add_mol(self, batch_idx: int, ismiles: str, inter_label, nth_child: int):
