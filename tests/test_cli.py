@@ -120,3 +120,50 @@ def test_vae_train_cli_data_parallel(tiny_csv, tmp_path):
                          '--data-csv', path, '--n-devices', '8'])
     assert params is not None
     assert os.path.exists(str(tmp_path / 'ckpt_dp' / 'model.0'))
+
+
+def test_reconstruct_and_optimize_cli(tiny_csv, tmp_path, monkeypatch):
+    """End-to-end reference drivers 3 and 4: train a tiny prop-opt model,
+    reconstruct the training set (reference reconstruct.py CSV layout) and
+    run hard latent optimization (reference optimize.py CSV pair) — both
+    through the --fast-decode turbo path."""
+    from ggpm_tpu.cli.get_vocab import main as vocab_main
+    from ggpm_tpu.cli.optimize import main as opt_main
+    from ggpm_tpu.cli.reconstruct import main as recon_main
+    from ggpm_tpu.cli.vae_train import main as train_main
+    path, d = tiny_csv
+    vocab_path = os.path.join(d, 'vocab4.txt')
+    vocab_main(['--data', path, '--output', vocab_path, '--min_frequency', '5'])
+    cfg = {
+        'vocab_': vocab_path, 'atom_vocab_': None,
+        'save_dir': str(tmp_path / 'ckpt'),
+        'saved_model': None, 'load_epoch': -1,
+        'rnn_type': 'LSTM', 'hidden_size': 48, 'embed_size': 48,
+        'latent_size': 12, 'linear_hidden_size': 32,
+        'batch_size': 8, 'depthT': 3, 'depthG': 3, 'diterT': 1, 'diterG': 1,
+        'dropout': 0.0, 'lr': 1e-3, 'clip_norm': 20.0, 'beta': 0.1,
+        'epoch': 1, 'anneal_rate': 0.9, 'print_iter': 1000, 'save_iter': -1,
+        'seed': 1,
+        'data': path, 'test_data': path,
+        'output_model': str(tmp_path / 'ckpt' / 'model.0'),
+        'output': 'rec.csv',
+        'latent_lr': 0.5, 'property_optim_step': 2, 'property_delta': 0.01,
+        'patience_threshold': 0.01, 'patience': 2, 'optimize_type': 'hard',
+    }
+    cfg_path = str(tmp_path / 'cfg.json')
+    with open(cfg_path, 'w') as f:
+        json.dump(cfg, f)
+    train_main(['--path-to-config', cfg_path, '--model-type', 'prop-opt',
+                '--data-csv', path])
+    monkeypatch.chdir(tmp_path)
+    rows = recon_main(['--path-to-config', cfg_path,
+                       '--model-type', 'prop-opt', '--batch-size', '8',
+                       '--max-decode-step', '30', '--fast-decode'])
+    assert rows and any(r['reconstructed'] for r in rows)
+    assert (tmp_path / 'rec.csv').exists()
+    assert (tmp_path / 'rec_logs.pkl').exists()
+    opt_main(['--path-to-config', cfg_path, '--model-type', 'prop-opt',
+              '--optimize-type', 'hard', '--optim-step', '2',
+              '--batch-size', '8', '--fast-decode'])
+    assert (tmp_path / 'reconstructed_molecules_after_rec.csv').exists()
+    assert (tmp_path / 'property_prediction_after_rec.csv').exists()
