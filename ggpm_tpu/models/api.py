@@ -99,8 +99,12 @@ def reconstruct_enum_roots(model, params, smiles_list, vocab: PairVocab,
     for i in range(0, len(variants), 64):
         chunk = variants[i:i + 64]
         mb = tensorize([[v, None, None] for v in chunk], vocab, avocab)
+        # bucket-pad: bit-identical latents, a handful of compile shapes
+        # instead of one per chunk
+        from ..data.batching import pad_batch
         batch = jax.tree.map(jnp.asarray,
-                             to_model_batch(mb, vocab.mask, pad=False))
+                             to_model_batch(pad_batch(mb), vocab.mask,
+                                            pad=False))
         z, _ = encode(model, params, batch, perturb=False)
         zs.append(np.asarray(z))
     z_all = (np.concatenate(zs) if zs

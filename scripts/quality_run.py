@@ -179,7 +179,13 @@ def main():
         if not chunk:
             break
         mb = tensorize(chunk, vocab, common_atom_vocab)
-        batch = jax.tree.map(jnp.asarray, to_model_batch(mb, vocab.mask, pad=False))
+        # bucket-pad the encode: padded and raw encodes are bit-identical
+        # (index-0 padding convention), and bucketed shapes compile a
+        # handful of times instead of once per chunk — at the 5k-molecule
+        # polymers eval, pad=False meant ~250 distinct compile shapes
+        batch = jax.tree.map(jnp.asarray,
+                             to_model_batch(pad_batch(mb), vocab.mask,
+                                            pad=False))
         if is_hier:
             z, _ = model.apply(params, batch['tree'],
                                method=lambda m, tree: m.encode_latent(

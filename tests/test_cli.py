@@ -167,3 +167,30 @@ def test_reconstruct_and_optimize_cli(tiny_csv, tmp_path, monkeypatch):
               '--batch-size', '8', '--fast-decode'])
     assert (tmp_path / 'reconstructed_molecules_after_rec.csv').exists()
     assert (tmp_path / 'property_prediction_after_rec.csv').exists()
+
+
+def test_quality_run_holdout_pipeline(tiny_csv, tmp_path):
+    """The full quality pipeline (vocab → train → holdout recon + enum-root
+    + prior sampling → JSON artifact) on a tiny corpus.  Regression for the
+    round-2 bug where a smaller-than-batch-size holdout produced an empty
+    eval set and an all-zero artifact."""
+    import subprocess
+    import sys
+    path, d = tiny_csv
+    out = str(tmp_path / 'Q.json')
+    env = dict(os.environ, JAX_PLATFORMS='cpu')
+    r = subprocess.run(
+        [sys.executable, 'scripts/quality_run.py', '--data', path,
+         '--epochs', '2', '--ft-epochs', '0', '--min-freq', '5',
+         '--hidden', '32', '--latent', '8', '--batch-size', '8',
+         '--holdout', '4', '--enum-root', '2', '--out', out],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=1500)
+    assert r.returncode == 0, r.stderr[-2000:]
+    q = json.load(open(out))
+    assert q['eval_split'] == 'holdout'
+    # the holdout was evaluated: metrics computed over a NON-empty set
+    assert 'unique@4' in q, list(q)
+    assert q['decode_seconds'] > 0
+    assert 'recon_accuracy_enum_root' in q
+    assert q['prior_sample']['validity'] >= 0
