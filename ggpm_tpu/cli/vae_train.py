@@ -35,6 +35,12 @@ def main(argv=None):
                              '(0 = auto: all available devices if >1; 1 = '
                              'force single-device). Each optimizer step '
                              'consumes n batches, gradient-psum over ICI.')
+    parser.add_argument('--tp', type=int, default=1,
+                        help='model-axis extent: with --tp T > 1 the mesh '
+                             'is 2-D (data=n/T × model=T) and vocab-dim '
+                             'parameters (motif/attachment embeddings, '
+                             'cls/icls heads) + their optimizer moments '
+                             'are sharded over the model axis via GSPMD')
     args = parser.parse_args(argv)
 
     configs = Configs(path=args.path_to_config)
@@ -65,7 +71,13 @@ def main(argv=None):
     import jax
     n_dev = args.n_devices if args.n_devices > 0 else len(jax.devices())
     mesh = None
-    if n_dev > 1:
+    if n_dev > 1 and args.tp > 1:
+        from ..parallel.mesh import make_mesh_2d
+        assert n_dev % args.tp == 0, (n_dev, args.tp)
+        mesh = make_mesh_2d(n_dev // args.tp, args.tp)
+        print(f'dp={n_dev // args.tp} × tp={args.tp} GSPMD over {n_dev} '
+              f'devices ({mesh.devices.flat[0].platform})')
+    elif n_dev > 1:
         from ..parallel.mesh import make_mesh
         mesh = make_mesh(n_dev)
         print(f'data-parallel over {n_dev} devices '
@@ -75,7 +87,8 @@ def main(argv=None):
                       print_iter=configs.get('print_iter', 50),
                       save_dir=configs.save_dir,
                       save_iter=configs.get('save_iter', -1),
-                      seed=configs.get('seed', 1), mesh=mesh)
+                      seed=configs.get('seed', 1), mesh=mesh,
+                      tp_min_dim=configs.get('tp_min_dim', 256))
     params, opt_state = trainer.init(first)
     params, loaded = maybe_load_pretrained(
         params, configs, model, vocab, trainer._device_batch(first))

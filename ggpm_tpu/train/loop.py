@@ -214,7 +214,8 @@ class Trainer:
                  beta: float = 0.1, print_iter: int = 50,
                  save_dir: Optional[str] = None, save_iter: int = -1,
                  clip_break_count: int = 5, seed: int = 1,
-                 beta_warmup_steps: int = 0, mesh=None):
+                 beta_warmup_steps: int = 0, mesh=None,
+                 tp_min_dim: int = 256):
         """``mesh``: a 1-D ``jax.sharding.Mesh`` over a ``data`` axis turns
         the Trainer data-parallel — each optimizer step consumes D
         same-shape batches sharded across the mesh with a gradient psum
@@ -231,8 +232,15 @@ class Trainer:
         self.rng = jax.random.PRNGKey(seed)
         self.beta_warmup_steps = beta_warmup_steps
         self.mesh = mesh
-        self.n_shards = int(np.prod(mesh.devices.shape)) if mesh is not None \
-            else 1
+        self.tp_min_dim = tp_min_dim
+        # batches consumed per parallel step = the DATA extent of the mesh
+        # (a 2-D data × model mesh consumes dp batches, not dp·tp)
+        if mesh is None:
+            self.n_shards = 1
+        elif 'data' in mesh.axis_names:
+            self.n_shards = int(mesh.shape['data'])
+        else:
+            self.n_shards = int(np.prod(mesh.devices.shape))
         self.step_fn = make_train_step(model, optimizer, beta,
                                        beta_warmup_steps=beta_warmup_steps)
         self.eval_fn = make_eval_step(model, beta)
@@ -265,16 +273,28 @@ class Trainer:
         """ONE data-parallel optimizer step over ``len(db_list) == D``
         same-shape host batches: stack on a leading device axis, shard over
         the mesh's ``data`` axis, gradient-psum inside
-        (parallel.mesh.make_dp_train_step).  This is the SAME code path
-        ``dryrun_multichip`` validates."""
+        (parallel.mesh.make_dp_train_step).  On a 2-D (data × model) mesh
+        the step instead runs the GSPMD DP×TP formulation
+        (parallel.mesh.make_gspmd_train_step): vocab-dimension parameters
+        and their optimizer moments are sharded over the ``model`` axis
+        (placed once, on the first step; donation keeps the shardings).
+        These are the SAME code paths ``dryrun_multichip`` validates."""
         from jax.sharding import NamedSharding, PartitionSpec as P
-        from ..parallel.mesh import make_dp_train_step
         assert self.mesh is not None, 'Trainer built without a mesh'
+        is_2d = 'model' in self.mesh.axis_names
         if getattr(self, '_dp_fn', None) is None:
-            self._dp_fn = make_dp_train_step(self.model, self.optimizer,
-                                             self.mesh, self.beta)
+            if is_2d:
+                from ..parallel.mesh import make_gspmd_train_step
+                self._dp_fn, self._gspmd_place = make_gspmd_train_step(
+                    self.model, self.optimizer, self.mesh, self.beta,
+                    tp_min_dim=self.tp_min_dim)
+            else:
+                from ..parallel.mesh import make_dp_train_step
+                self._dp_fn = make_dp_train_step(self.model, self.optimizer,
+                                                 self.mesh, self.beta)
             self._mask_rep = jax.device_put(
                 self.vocab_mask, NamedSharding(self.mesh, P()))
+            self._placed = False
         dev_spec = NamedSharding(self.mesh, P('data'))
         stacked = {
             k: jax.tree.map(
@@ -282,6 +302,10 @@ class Trainer:
                 *[db[k] for db in db_list])
             for k in db_list[0] if k != 'vocab_mask'}
         stacked['vocab_mask'] = self._mask_rep
+        if is_2d and not self._placed:
+            params, opt_state, stacked = self._gspmd_place(params, opt_state,
+                                                           stacked)
+            self._placed = True
         self.rng, r = jax.random.split(self.rng)
         params, opt_state, metrics, aux = self._dp_fn(
             params, opt_state, stacked, r)

@@ -45,6 +45,10 @@ def main():
                          'dataset.py:46-75): re-root each eval molecule at '
                          'up to N leaves and count success if ANY rooting '
                          'round-trips; 0 disables')
+    ap.add_argument('--decode-steps', type=int, default=150,
+                    help='autoregressive decode budget (reference cap 150; '
+                         'lower it for smoke tests — compile time scales '
+                         'with the scan length)')
     ap.add_argument('--dump-recon', default=None,
                     help='write original,reconstructed,org_homo,org_lumo,'
                          'homo,lumo CSV (reference reconstruct.py:78-97 '
@@ -220,7 +224,8 @@ def main():
         chunk = kept[i:i + dec_bs]
         _, smiles = decode_fn(model, params, vocab, common_atom_vocab,
                               zs[i:i + dec_bs], greedy=True,
-                              max_decode_step=150, log_steps=False)
+                              max_decode_step=args.decode_steps,
+                              log_steps=False)
         recon_pairs += list(zip([c[0] for c in chunk], smiles))
         for (s, h, l), dec, hh, ll in zip(chunk, smiles, hps[i:i + dec_bs],
                                           lps[i:i + dec_bs]):
@@ -241,7 +246,8 @@ def main():
     _, sampled = sample_prior(model, params, vocab, common_atom_vocab,
                               min(40, batch_size * 2),
                               rng=np.random.default_rng(7),
-                              max_decode_step=120, log_steps=False)
+                              max_decode_step=min(120, args.decode_steps),
+                              log_steps=False)
     qual['prior_sample'] = {
         'validity': M.validity(sampled),
         'uniqueness': M.uniqueness(sampled),
@@ -256,7 +262,8 @@ def main():
         t_enum = time.time()
         enum_out = reconstruct_enum_roots(
             model, params, [r[0] for r in kept], vocab, common_atom_vocab,
-            max_roots=args.enum_root, max_decode_step=150)
+            max_roots=args.enum_root,
+            max_decode_step=args.decode_steps)
         qual['recon_accuracy_enum_root'] = (
             sum(1 for _, _, m in enum_out if m) / len(enum_out))
         qual['enum_root_seconds'] = round(time.time() - t_enum, 1)

@@ -183,7 +183,8 @@ def test_quality_run_holdout_pipeline(tiny_csv, tmp_path):
         [sys.executable, 'scripts/quality_run.py', '--data', path,
          '--epochs', '2', '--ft-epochs', '0', '--min-freq', '5',
          '--hidden', '32', '--latent', '8', '--batch-size', '8',
-         '--holdout', '4', '--enum-root', '2', '--out', out],
+         '--holdout', '4', '--enum-root', '2', '--decode-steps', '30',
+         '--out', out],
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         env=env, capture_output=True, text=True, timeout=1500)
     assert r.returncode == 0, r.stderr[-2000:]
@@ -194,3 +195,36 @@ def test_quality_run_holdout_pipeline(tiny_csv, tmp_path):
     assert q['decode_seconds'] > 0
     assert 'recon_accuracy_enum_root' in q
     assert q['prior_sample']['validity'] >= 0
+
+
+def test_vae_train_cli_dp_tp(tiny_csv, tmp_path):
+    """--n-devices 8 --tp 2 trains over a 2-D (data=4 × model=2) mesh via
+    GSPMD: vocab-dim parameters sharded over the model axis, each step
+    consuming 4 batches."""
+    from ggpm_tpu.cli.get_vocab import main as vocab_main
+    from ggpm_tpu.cli.vae_train import main as train_main
+    path, d = tiny_csv
+    vocab_path = os.path.join(d, 'vocab_tp.txt')
+    vocab_main(['--data', path, '--output', vocab_path, '--min_frequency', '5'])
+    cfg = {
+        'vocab_': vocab_path, 'atom_vocab_': None,
+        'save_dir': str(tmp_path / 'ckpt_tp'),
+        'saved_model': None, 'load_epoch': -1,
+        'rnn_type': 'LSTM', 'hidden_size': 48, 'embed_size': 48,
+        'latent_size': 12, 'linear_hidden_size': 32,
+        'batch_size': 8, 'depthT': 3, 'depthG': 3, 'diterT': 1, 'diterG': 1,
+        'dropout': 0.0, 'lr': 1e-3, 'clip_norm': 20.0, 'beta': 0.1,
+        'epoch': 1, 'anneal_rate': 0.9, 'print_iter': 1000, 'save_iter': -1,
+        'seed': 1,
+        'tp_min_dim': 8,    # tiny vocab: shard anyway so the test is real
+    }
+    cfg_path = str(tmp_path / 'cfg_tp.json')
+    with open(cfg_path, 'w') as f:
+        json.dump(cfg, f)
+    params = train_main(['--path-to-config', cfg_path, '--model-type', 'prop',
+                         '--data-csv', path, '--n-devices', '8', '--tp', '2'])
+    assert params is not None
+    import jax
+    assert any('model' in str(x.sharding.spec)
+               for x in jax.tree.leaves(params)), 'no model-axis sharding'
+    assert os.path.exists(str(tmp_path / 'ckpt_tp' / 'model.0'))
