@@ -93,7 +93,8 @@ def _try_assemble(tree, graph, vocab, b, new_node, fa_node, cls_beam,
                     sorted_cands = [list(c) for c in inter_cands]
                 else:
                     sorted_cands = score_cands(b, smiles, inter_cands,
-                                               anchor_smiles, nth_child)
+                                               anchor_smiles, nth_child,
+                                               ilab)
             for inter_label in sorted_cands:
                 pairs = list(zip(inter_label, attach_points))
                 if graph.try_add_mol(b, ismiles, pairs):
@@ -277,6 +278,14 @@ class HierDecodeKernel:
                 method=lambda m, *a: m._decoder().hdec_step_fused(*a))
         _step_fused = jax.jit(step)
         self.step_fused = lambda *a: _step_fused(self.params, *a, self.mask)
+
+        def propose(params, root_vecs, mask, u_seq, tabs):
+            return model.apply(
+                params, root_vecs, mask, u_seq, tabs, beam,
+                method=lambda m, *a: m._decoder().hdec_propose(*a))
+        _propose = jax.jit(propose)
+        self.propose = lambda rv, u_seq, tabs: _propose(
+            self.params, rv, self.mask, u_seq, tabs)
 
 
 def decode_hier(model, params, vocab: PairVocab, avocab: Vocab,
@@ -511,11 +520,14 @@ def decode_hier(model, params, vocab: PairVocab, avocab: Vocab,
                    if bb == b}
 
             def scorer(bb, smiles, inter_cands, anchor_smiles, nth_child,
-                       _pre=pre, _b=b):
-                # the pre dict holds at most the beam-0 attempt; match by
-                # candidate-set identity (same (cls, icls) ⇒ same cands)
-                for order in _pre.values():
-                    if len(order) == len(inter_cands) and \
+                       ilab_cur, _pre=pre, _b=b):
+                # the pre dict holds at most the beam-0 attempt; reuse it
+                # ONLY for the same fine label — scores depend on the
+                # child's anchor embeddings, so two icls with identical
+                # candidate SETS still order them differently
+                for (_, ilab_p), order in _pre.items():
+                    if ilab_p == ilab_cur and \
+                            len(order) == len(inter_cands) and \
                             sorted(map(tuple, order)) == \
                             sorted(map(tuple, inter_cands)):
                         return order
@@ -709,11 +721,91 @@ def _assm_tables(vocab: PairVocab, avocab: Vocab):
             else:
                 newrank[i, j] = r
                 r += 1
+
+    # ---- hier-decode tables (device-side add_mol + assembly scoring) ----
+    # av      [S]  atom-vocab index per slot (add_mol's one-hot id;
+    #              KeyError -> 0, inc_graph.py:165-168)
+    # map1    [S]  ismiles anchor mark (map_num == 1)
+    # dst_att [S]  slot is in add_mol's `attached` when bonds are added
+    #              (attach endpoints + map-1 atoms) — selects nth_child on
+    #              the edge rows (inc_graph.py:190-193)
+    # b_a/b_b/b_bt [BMAX] motif bond list in emol order (slot, slot, bond
+    #              type index); b_anch marks the anchor-pair bond (skipped
+    #              when the parent already has it, inc_graph.py:184,194-195)
+    # nbond   bond count
+    # a_icls  [2]  fine labels of the anchor smiles (pack_cands, decode.py)
+    # n_anch  number of anchors (1 or 2)
+    # poison  the device CANNOT mirror this graft's atom/edge bookkeeping
+    #         (unparseable / >S atoms / >2-point attachment) — a sample that
+    #         grafts one must fall back to the exact path
+    from ..graph.mol_graph import bond_type_index
+    BMAX = S + 6
+    av = np.zeros((n, S), np.int32)
+    map1 = np.zeros((n, S), bool)
+    dst_att = np.zeros((n, S), bool)
+    b_a = np.zeros((n, BMAX), np.int32)
+    b_b = np.zeros((n, BMAX), np.int32)
+    b_bt = np.zeros((n, BMAX), np.int32)
+    b_anch = np.zeros((n, BMAX), bool)
+    nbond = np.zeros(n, np.int32)
+    a_icls = np.zeros((n, 2), np.int32)
+    n_anch = np.ones(n, np.int32)
+    poison = np.zeros(n, bool)
+    for i in range(n):
+        try:
+            emol = get_mol_shared(vocab.get_ismiles(i))
+        except Exception:
+            emol = None
+        if emol is None or emol.num_atoms > S:
+            poison[i] = True
+            continue
+        na = emol.num_atoms
+        attach = [j for j, a in enumerate(emol.atoms) if a.map_num == 1]
+        if na > 1 and len(attach) > 2:
+            poison[i] = True
+            continue
+        for j, a in enumerate(emol.atoms):
+            try:
+                av[i, j] = avocab[(a.symbol, a.charge)]
+            except KeyError:
+                av[i, j] = 0
+            map1[i, j] = a.map_num == 1
+            dst_att[i, j] = is_att[i, j] or map1[i, j]
+        ap = (int(appos[i, 0]), int(appos[i, 1]))
+        for k, b in enumerate(emol.bonds[:BMAX]):
+            b_a[i, k], b_b[i, k] = b.a1, b.a2
+            b_bt[i, k] = bond_type_index(emol, b)
+            b_anch[i, k] = isz_t[i] >= 2 and {b.a1, b.a2} == set(ap)
+        nbond[i] = min(len(emol.bonds), BMAX)
+        if len(emol.bonds) > BMAX:
+            poison[i] = True
+        # anchor fine labels (decode.pack_cands: vocab[(smiles, anchor)])
+        smiles = vocab.vocab[i][0]         # (smiles, ismiles) pair list
+        isz = int(isz_t[i])
+        if na == 1 or isz == 1:
+            anchor_smi = [vocab.get_ismiles(i)]
+        else:
+            try:
+                anchor_smi = [
+                    get_anchor_smiles(emol, int(appos[i, 0]), by_index=True),
+                    get_anchor_smiles(emol, int(appos[i, 1]), by_index=True)]
+            except Exception:
+                anchor_smi = []
+                poison[i] = True
+        n_anch[i] = min(len(anchor_smi), 2) or 1
+        for k, a_s in enumerate(anchor_smi[:2]):
+            try:
+                a_icls[i, k] = vocab[(smiles, a_s)][1]
+            except Exception:
+                a_icls[i, k] = 0
+
     tabs = {k: jnp.asarray(v) for k, v in dict(
         n_at=n_at, isz=isz_t, fail=fail, noop=noop, sym=sym, stype=stype,
         bused=bused, bfv=bfv, adj=adj.astype(np.int32), appos=appos,
         apbond=apbond, needs=needs, ctype=ctype, newrank=newrank,
-        is_att=is_att).items()}
+        is_att=is_att, av=av, map1=map1, dst_att=dst_att, b_a=b_a, b_b=b_b,
+        b_bt=b_bt, b_anch=b_anch, nbond=nbond, a_icls=a_icls, n_anch=n_anch,
+        poison=poison).items()}
     _ASSM_TABLES_CACHE[id(vocab)] = (weakref.ref(vocab), tabs)
     return tabs
 
@@ -942,14 +1034,231 @@ def decode_motif_turbo(model, params, vocab: PairVocab, avocab: Vocab,
     return results, smiles_out
 
 
+def _hier_candidate(cluster, kind, slot):
+    """Map the device's (kind, slot) candidate code to the host candidate
+    atom run (get_assm_cands enumeration: kind 0 = 1-point or forward pair
+    starting at ``slot``, kind 2 = reverse pair)."""
+    n = len(cluster)
+    if n == 0:
+        return None
+    if kind == 2:
+        return [cluster[slot % n], cluster[(slot - 1) % n]]
+    return [cluster[slot % n], cluster[(slot + 1) % n]]
+
+
+def _replay_hier(trace_b, root_cls_b, root_icls_b, vocab: PairVocab,
+                 avocab: Vocab, beam: int, max_nodes: int, max_edges: int):
+    """Replay one sample's hier device trace with real chemistry,
+    verifying every assembly decision (the device scored candidates and
+    picked the best FEASIBLE one; chemistry re-checks feasibility of the
+    chosen candidate AND that every skipped beam really had none).
+    Returns ('done', smiles) or ('diverge', None) — hier divergences fall
+    back to the exact path whole (divergence resolution would need device
+    candidate scores the trace does not carry)."""
+    tree = IncTree(1, max_nodes=max_nodes, max_edges=max_edges, max_nb=12,
+                   max_sub_nodes=32)
+    graph = IncGraph(avocab, 1, max_nodes=max_nodes,
+                     max_edges=max_edges + 100)
+    stack: List[int] = []
+    clab, ilab = int(root_cls_b), int(root_icls_b)
+    super_root = tree.add_node()
+    root_idx = tree.add_node((clab, ilab))
+    tree.add_edge(super_root, root_idx)
+    stack.append(root_idx)
+    try:
+        new_atoms, new_bonds, attached = graph.add_mol(
+            0, vocab.get_ismiles(ilab), [], 0)
+    except Exception:
+        return 'done', None
+    tree.register_cgraph(root_idx, new_atoms, new_bonds, attached)
+
+    T = trace_b.shape[0]
+    K = beam
+    for t in range(T):
+        if not stack:
+            break
+        choose = trace_b[t, 1] > 0.5
+        if not choose:
+            child = stack.pop()
+            if stack:
+                top = stack[-1]
+                tree.add_edge(child, top, (child, top, tree.in_degree(top)))
+            continue
+        parent = stack[-1]
+        new_node = tree.add_node()
+        tree.add_edge(parent, new_node, (parent, new_node, 0))
+        stack.append(new_node)
+        cls_topk = trace_b[t, 2 + K:2 + 2 * K].astype(np.int32)
+        icls_topk = trace_b[t, 2 + 2 * K:2 + 3 * K].astype(np.int32)
+        dev_j = int(trace_b[t, 2 + 3 * K])
+        kind = int(trace_b[t, 2 + 3 * K + 2])
+        slot = int(trace_b[t, 2 + 3 * K + 3])
+        n_check = K if dev_j < 0 else dev_j
+
+        def beam_has_valid(kk):
+            clab_k, ilab_k = int(cls_topk[kk]), int(icls_topk[kk])
+            try:
+                ismiles = vocab.get_ismiles(ilab_k)
+                fa_cluster, _, fa_used = tree.get_cluster(parent)
+                cands, _, attach_points = graph.get_assm_cands(
+                    fa_cluster, fa_used, ismiles)
+                for c in cands[:24]:
+                    if graph.try_add_mol(0, ismiles,
+                                         list(zip(list(c), attach_points))):
+                        return True
+            except Exception:
+                pass
+            return False
+
+        # device-skipped beams must really have no valid assembly
+        for kk in range(min(n_check, K)):
+            if beam_has_valid(kk):
+                return 'diverge', None
+        if dev_j < 0:
+            _forced_backtrack(tree, [stack], 0)
+            continue
+
+        clab_j, ilab_j = int(cls_topk[dev_j]), int(icls_topk[dev_j])
+        try:
+            ismiles = vocab.get_ismiles(ilab_j)
+            tree.set_node_feature(new_node, (clab_j, ilab_j))
+            fa_cluster, _, fa_used = tree.get_cluster(parent)
+            cands, _, attach_points = graph.get_assm_cands(
+                fa_cluster, fa_used, ismiles)
+            want = _hier_candidate(list(fa_cluster), kind, slot)
+            chosen = None
+            if want is not None:
+                for c in cands[:24]:
+                    cl = list(c)
+                    if len(cl) == 1 and cl[0] == want[0]:
+                        chosen = cl
+                        break
+                    if len(cl) >= 2 and cl[0] == want[0] and cl[-1] == want[1]:
+                        chosen = cl
+                        break
+            if chosen is None:
+                return 'diverge', None
+            pairs = list(zip(chosen, attach_points))
+            if not graph.try_add_mol(0, ismiles, pairs):
+                return 'diverge', None
+            nth_child = 0 if len(cands) == 1 else tree.in_degree(parent)
+            new_atoms, new_bonds, attached = graph.add_mol(
+                0, ismiles, pairs, nth_child)
+            tree.register_cgraph(new_node, new_atoms, new_bonds, attached)
+            tree.update_attached(parent, pairs)
+        except Exception:
+            return 'diverge', None
+    smiles = graph.get_smiles()
+    return 'done', (smiles[0] if smiles else None)
+
+
+def decode_hier_turbo(model, params, vocab: PairVocab, avocab: Vocab,
+                      root_vecs: np.ndarray, greedy: bool = True,
+                      max_decode_step: int = 150, beam: int = 5,
+                      max_nodes: int = 400, max_edges: int = 500,
+                      rng: Optional[np.random.Generator] = None,
+                      log_steps: bool = False, ladder: tuple = (64,)):
+    """Device-resident speculative decode for the HIER family: one
+    ``lax.scan`` proposes the whole trajectory (``HierDecoder.
+    hdec_propose`` — 3-level message passing, candidate scoring against
+    live atom hiddens, and the exact per-atom valence oracle all
+    in-scan); the host replays and VERIFIES the trace with real
+    chemistry.  Samples whose replay diverges, that graft untrackable
+    motifs (``poisoned``), or that outrun a ladder rung re-run — rung
+    re-entry recomputes from scratch (the scan is deterministic), and
+    divergent/poisoned samples fall back to ``decode_hier``."""
+    if not greedy or log_steps:
+        return decode_hier(model, params, vocab, avocab, root_vecs,
+                           greedy=greedy, max_decode_step=max_decode_step,
+                           beam=beam, max_nodes=max_nodes,
+                           max_edges=max_edges, rng=rng, log_steps=log_steps)
+    _check_no_attention(model)
+    root_vecs = np.asarray(root_vecs)
+    batch_size = root_vecs.shape[0]
+    T = max_decode_step
+    kern = _get_kernel(HierDecodeKernel, model, params, vocab.mask, beam)
+    tabs = _assm_tables(vocab, avocab)
+    rungs = sorted({min(r, T) for r in ladder} | {T})
+
+    smiles_out: List[Optional[str]] = [None] * batch_size
+    results: List[list] = [[] for _ in range(batch_size)]
+    fallback: List[int] = []
+    pending = list(range(batch_size))
+    TURBO_STATS.update(rounds=0, batch=batch_size, fallbacks=0,
+                       pending_per_round=[], rungs=[])
+
+    for rnd, T_r in enumerate(rungs):
+        if not pending:
+            break
+        TURBO_STATS['rounds'] = rnd + 1
+        TURBO_STATS['pending_per_round'].append(len(pending))
+        TURBO_STATS['rungs'].append(T_r)
+        n_p = len(pending)
+        nb = 16 if (rnd and n_p <= 16 and batch_size > 16) else batch_size
+        cols = pending + [pending[0]] * (nb - n_p)
+        rv_r = jnp.asarray(root_vecs[np.asarray(cols)])
+        u_r = jnp.full((T_r, nb), 0.5, dtype=jnp.float32)
+        packed, root_cls, root_icls, poisoned = kern.propose(rv_r, u_r, tabs)
+        packed = np.asarray(packed)
+        root_cls = np.asarray(root_cls)
+        root_icls = np.asarray(root_icls)
+        poisoned = np.asarray(poisoned)
+
+        final = T_r == T
+        still = []
+        for j, b in enumerate(cols[:n_p]):
+            if poisoned[j]:
+                fallback.append(b)
+                continue
+            # unfinished at a short rung? (simulate the stack depth)
+            if not final:
+                depth = 1
+                done_early = False
+                for tt in range(T_r):
+                    if depth <= 0:
+                        done_early = True
+                        break
+                    ch = packed[tt, j, 1] > 0.5
+                    jj = int(packed[tt, j, 2 + 3 * beam])
+                    depth += (1 if jj >= 0 else -1) if ch else -1
+                if not (done_early or depth <= 0):
+                    still.append(b)
+                    continue
+            status, out = _replay_hier(packed[:, j, :], root_cls[j],
+                                       root_icls[j], vocab, avocab, beam,
+                                       max_nodes, max_edges)
+            if status == 'done':
+                smiles_out[b] = out
+            else:
+                fallback.append(b)
+        pending = still
+
+    fallback += pending
+    TURBO_STATS['fallbacks'] = len(fallback)
+    if fallback:
+        res2, sm2 = decode_hier(model, params, vocab, avocab,
+                                root_vecs[np.asarray(fallback)],
+                                greedy=True, max_decode_step=max_decode_step,
+                                beam=beam, max_nodes=max_nodes,
+                                max_edges=max_edges, rng=rng,
+                                log_steps=log_steps)
+        for j, b in enumerate(fallback):
+            smiles_out[b] = sm2[j]
+            results[b] = res2[j]
+    return results, smiles_out
+
+
 def decode_best(model, params, vocab: PairVocab, avocab: Vocab,
                 root_vecs: np.ndarray, greedy: bool = True,
                 log_steps: bool = False, **kwargs):
     """Fastest semantics-preserving decode for the model family: the
-    device-resident turbo path for greedy motif decoding without per-step
-    logs (per-step logs require the host-interleaved loop), the exact path
-    otherwise."""
+    device-resident turbo paths for greedy decoding without per-step
+    logs (per-step logs require the host-interleaved loops), the exact
+    paths otherwise."""
     if type(model).__name__.startswith('Hier'):
+        if greedy and not log_steps:
+            return decode_hier_turbo(model, params, vocab, avocab,
+                                     root_vecs, greedy=True, **kwargs)
         return decode_hier(model, params, vocab, avocab, root_vecs,
                            greedy=greedy, log_steps=log_steps, **kwargs)
     if greedy and not log_steps:

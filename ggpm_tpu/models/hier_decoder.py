@@ -522,3 +522,590 @@ class HierDecoder(nn.Module):
         k_mask = (jnp.arange(2)[None, :] < n_icls)[..., None]
         cand_vecs = (mvec * k_mask).sum(axis=1)            # [C, H]
         return (self.W_assm(cand_vecs) * ctx[None]).sum(-1)
+
+    # -- device-resident speculative decode (turbo) -------------------------
+
+    def _graft_rows(self, tabs, carry, b_of, new_ilab, ch_atom_f, do_c,
+                    nth_edge, skip_anchor, nn_flat, Eg, NBG, KE):
+        """Apply one graft's atom-level row bookkeeping (device counterpart
+        of IncGraph.add_mol's bond loop, inc_graph.py:180-196): allocate two
+        directed message rows per NEW motif bond, mirror add_edge's
+        agraph/bgraph maintenance (including the retroactive predecessor
+        updates), and record the new node's cluster edge rows.
+
+        carry: (a_av, e_av, e_bt, e_nth, e_bg, in_g, in_cnt, out_g, out_dst,
+        out_cnt, edge_cnt, clist, ccnt) — all flat-indexed; ``ch_atom_f``
+        [B, S] flat atom ids of the child's slots; ``skip_anchor`` [B] the
+        anchor-pair bond already exists in the parent."""
+        (a_av, e_av, e_bt, e_nth, e_bg, in_g, in_cnt, out_g, out_dst,
+         out_cnt, edge_cnt, clist, ccnt) = carry
+        B = do_c.shape[0]
+        ar = jnp.arange(B)
+        nbond = tabs['nbond'][new_ilab]                       # [B]
+
+        def bond_step(k, c):
+            (a_av, e_av, e_bt, e_nth, e_bg, in_g, in_cnt, out_g, out_dst,
+             out_cnt, edge_cnt, clist, ccnt) = c
+            on = do_c & (k < nbond)
+            a_s = tabs['b_a'][new_ilab, k]
+            b_s = tabs['b_b'][new_ilab, k]
+            bt = tabs['b_bt'][new_ilab, k]
+            anch = tabs['b_anch'][new_ilab, k] & skip_anchor
+            add = on & (~anch)
+            u = jnp.take_along_axis(ch_atom_f, a_s[:, None], 1)[:, 0]
+            w = jnp.take_along_axis(ch_atom_f, b_s[:, None], 1)[:, 0]
+            e1 = jnp.where(add, 1 + b_of + edge_cnt, 0)
+            e2 = jnp.where(add, 1 + b_of + edge_cnt + 1, 0)
+
+            # row content (fmess: src av, bond type, nth-if-dst-attached)
+            d_att_b = jnp.take_along_axis(tabs['dst_att'][new_ilab],
+                                          b_s[:, None], 1)[:, 0]
+            d_att_a = jnp.take_along_axis(tabs['dst_att'][new_ilab],
+                                          a_s[:, None], 1)[:, 0]
+            e_av = e_av.at[e1].set(jnp.where(add, a_av[u], e_av[e1]))
+            e_av = e_av.at[e2].set(jnp.where(add, a_av[w], e_av[e2]))
+            e_bt = e_bt.at[e1].set(jnp.where(add, bt, e_bt[e1]))
+            e_bt = e_bt.at[e2].set(jnp.where(add, bt, e_bt[e2]))
+            e_nth = e_nth.at[e1].set(
+                jnp.where(add & d_att_b, nth_edge, jnp.where(add, 0, e_nth[e1])))
+            e_nth = e_nth.at[e2].set(
+                jnp.where(add & d_att_a, nth_edge, jnp.where(add, 0, e_nth[e2])))
+
+            # bgraph of the new rows: current in-rows of their SOURCE atom
+            # (the reverse edge cannot exist yet — an existing bond skips
+            # row creation entirely)
+            e_bg = e_bg.at[e1].set(jnp.where(add[:, None], in_g[u], e_bg[e1]))
+            e_bg = e_bg.at[e2].set(jnp.where(add[:, None], in_g[w], e_bg[e2]))
+
+            # retroactive updates: existing OUT-edges of the dst gain the
+            # new row at slot (new in-degree − 2)  (add_edge, inc_graph.py:82-86)
+            slot_w = jnp.clip(in_cnt[w] - 1, 0, NBG - 1)
+            rows_w = out_g[w]                                  # [B, NBG]
+            m_w = add[:, None] & (rows_w > 0) & (out_dst[w] != u[:, None])
+            tgt_w = jnp.where(m_w, rows_w, 0)
+            e_bg = e_bg.at[tgt_w, slot_w[:, None]].set(
+                jnp.where(m_w, e1[:, None], e_bg[tgt_w, slot_w[:, None]]))
+            slot_u = jnp.clip(in_cnt[u] - 1, 0, NBG - 1)
+            rows_u = out_g[u]
+            m_u = add[:, None] & (rows_u > 0) & (out_dst[u] != w[:, None])
+            tgt_u = jnp.where(m_u, rows_u, 0)
+            e_bg = e_bg.at[tgt_u, slot_u[:, None]].set(
+                jnp.where(m_u, e2[:, None], e_bg[tgt_u, slot_u[:, None]]))
+            e_bg = e_bg.at[0].set(0)
+
+            # append to in/out lists (slot order = host append order)
+            s_in_w = jnp.clip(in_cnt[w], 0, NBG - 1)
+            in_g = in_g.at[w, s_in_w].set(jnp.where(add, e1, in_g[w, s_in_w]))
+            s_in_u = jnp.clip(in_cnt[u], 0, NBG - 1)
+            in_g = in_g.at[u, s_in_u].set(jnp.where(add, e2, in_g[u, s_in_u]))
+            s_out_u = jnp.clip(out_cnt[u], 0, NBG - 1)
+            out_g = out_g.at[u, s_out_u].set(
+                jnp.where(add, e1, out_g[u, s_out_u]))
+            out_dst = out_dst.at[u, s_out_u].set(
+                jnp.where(add, w, out_dst[u, s_out_u]))
+            s_out_w = jnp.clip(out_cnt[w], 0, NBG - 1)
+            out_g = out_g.at[w, s_out_w].set(
+                jnp.where(add, e2, out_g[w, s_out_w]))
+            out_dst = out_dst.at[w, s_out_w].set(
+                jnp.where(add, u, out_dst[w, s_out_w]))
+            in_cnt = in_cnt.at[w].add(add.astype(jnp.int32))
+            in_cnt = in_cnt.at[u].add(add.astype(jnp.int32))
+            out_cnt = out_cnt.at[u].add(add.astype(jnp.int32))
+            out_cnt = out_cnt.at[w].add(add.astype(jnp.int32))
+            in_g = in_g.at[0].set(0)
+            out_g = out_g.at[0].set(0)
+            out_dst = out_dst.at[0].set(0)
+            in_cnt = in_cnt.at[0].set(0)
+            out_cnt = out_cnt.at[0].set(0)
+
+            # pre-existing anchor bond: reuse its rows (add_mol's edge_dict
+            # lookup, inc_graph.py:196) — find them in u's out list by dst
+            reuse = on & anch
+            fwd_hit = (out_dst[u] == w[:, None]) & (out_g[u] > 0)
+            r1 = (out_g[u] * fwd_hit).max(axis=-1)
+            rev_hit = (out_dst[w] == u[:, None]) & (out_g[w] > 0)
+            r2 = (out_g[w] * rev_hit).max(axis=-1)
+            c1 = jnp.where(add, e1, jnp.where(reuse, r1, 0))
+            c2 = jnp.where(add, e2, jnp.where(reuse, r2, 0))
+            sl = jnp.clip(ccnt[ar, nn_flat], 0, KE - 2)
+            rec = on
+            clist = clist.at[ar, nn_flat, sl].set(
+                jnp.where(rec, c1, clist[ar, nn_flat, sl]))
+            clist = clist.at[ar, nn_flat, sl + 1].set(
+                jnp.where(rec, c2, clist[ar, nn_flat, sl + 1]))
+            ccnt = ccnt.at[ar, nn_flat].add(2 * rec.astype(jnp.int32))
+            edge_cnt = edge_cnt + 2 * add.astype(jnp.int32)
+            return (a_av, e_av, e_bt, e_nth, e_bg, in_g, in_cnt, out_g,
+                    out_dst, out_cnt, edge_cnt, clist, ccnt)
+
+        BMAX = tabs['b_a'].shape[1]
+        carry = (a_av, e_av, e_bt, e_nth, e_bg, in_g, in_cnt, out_g, out_dst,
+                 out_cnt, edge_cnt, clist, ccnt)
+        return jax.lax.fori_loop(0, BMAX, bond_step, carry)
+
+    def hdec_propose(self, root_vecs, vocab_mask, u_seq, tabs, beam: int,
+                     max_nb: int = 12, A: int = 512, Eg: int = 640,
+                     NBG: int = 10, KE: int = 64, cand_cap: int = 24,
+                     return_state: bool = False):
+        """Device-RESIDENT speculative hier decode: the whole autoregressive
+        loop as ONE ``lax.scan`` (the 3-level sibling of
+        ``MotifDecoder.dec_propose``).  Every step mirrors
+        ``hdec_step_fused`` — atom-level refresh of the frontier cluster,
+        3-level frontier readout + topology, speculative message update,
+        motif top-k — PLUS what the host used to do between calls: the
+        assembly-candidate enumeration (IncGraph.get_assm_cands semantics:
+        slot runs, bond_match typing, the used-set and the cand_cap
+        truncation), candidate scoring against current atom hiddens
+        (``hdec_assm``), chemical feasibility via the per-atom valence
+        oracle (see ``_assm_tables``), and IncGraph.add_mol's row
+        bookkeeping (``_graft_rows``).
+
+        Unlike the motif turbo there is no pinned re-entry: a sample whose
+        replay diverges (or that grafts a motif the device cannot track —
+        ``tabs['poison']``) falls back to the exact path whole.  Returns
+        (packed [T, B, 2+3·beam+4], root_cls, root_icls, poisoned [B]):
+        packed rows are the ``dec_step_fused`` layout + committed beam slot,
+        committed icls, candidate kind (0 fwd/1-pt, 1 rev) and parent slot.
+        """
+        from .decode import hier_topk
+        B = root_vecs.shape[0]
+        T = u_seq.shape[0]
+        S = tabs['stype'].shape[1]
+        n_nodes = T + 2
+        rows_per = T + 1
+        ar = jnp.arange(B)
+        base_t = (1 + ar * rows_per).astype(jnp.int32)    # tree/inter rows
+        b_of_e = (ar * Eg).astype(jnp.int32)              # edge flat offsets
+        b_of_a = (ar * A).astype(jnp.int32)               # atom flat offsets
+        H = self.hidden_size
+
+        init = self.root_vecs_to_hidden(root_vecs)
+        n_trows = 1 + B * rows_per
+        tree_s = self.tree_rnn.init_state(n_trows)
+        tree_s = (tree_s[0].at[base_t].set(init.astype(tree_s[0].dtype)),) \
+            + tuple(tree_s[1:])
+        inter_s = self.inter_rnn.init_state(n_trows)
+        graph_s = self.graph_rnn.init_state(1 + B * Eg)
+        hatom = jnp.zeros((1 + B * A, H))
+        hinter = jnp.zeros((1 + B * n_nodes, H))
+
+        # root motif (decode_hier root heads: argmax cls, masked argmax icls)
+        cls_l = self.clsNN(jnp.concatenate([init, root_vecs], -1), True)
+        icls_l = self.iclsNN(jnp.concatenate([init, root_vecs], -1), True)
+        root_cls = jnp.argmax(cls_l, axis=-1).astype(jnp.int32)
+        root_icls = jnp.argmax(icls_l + vocab_mask[root_cls],
+                               axis=-1).astype(jnp.int32)
+
+        # ---- motif-oracle node state (same as MotifDecoder.dec_propose) --
+        clab = jnp.zeros((B, n_nodes), jnp.int32).at[:, 0].set(root_cls)
+        ilab = jnp.zeros((B, n_nodes), jnp.int32).at[:, 0].set(root_icls)
+        slot_used = jnp.zeros((B, n_nodes, S),
+                              bool).at[:, 0].set(tabs['bused'][root_icls])
+        atom_fv = jnp.zeros((B, A),
+                            jnp.int32).at[:, :S].set(tabs['bfv'][root_icls])
+        slot_atom = jnp.zeros((B, n_nodes, S), jnp.int32) \
+            .at[:, 0, :].set(jnp.arange(S)[None, :])
+        atom_cnt = tabs['n_at'][root_icls].astype(jnp.int32)
+        node_as2 = jnp.zeros((B, n_nodes), bool)
+        in_deg = jnp.zeros((B, n_nodes), jnp.int32).at[:, 0].set(1)
+        agraph = jnp.zeros((B, n_nodes, max_nb),
+                           jnp.int32).at[:, 0, 0].set(base_t)
+        down_row = jnp.zeros((B, n_nodes), jnp.int32).at[:, 0].set(base_t)
+        stack = jnp.zeros((B, n_nodes), jnp.int32)
+        sp = jnp.ones((B,), jnp.int32)
+        nxt = jnp.ones((B,), jnp.int32)
+        poisoned = tabs['poison'][root_icls] | tabs['noop'][root_icls]
+
+        # ---- atom/edge row bookkeeping -----------------------------------
+        a_av = jnp.zeros(1 + B * A, jnp.int32)
+        e_av = jnp.zeros(1 + B * Eg, jnp.int32)
+        e_bt = jnp.zeros(1 + B * Eg, jnp.int32)
+        e_nth = jnp.zeros(1 + B * Eg, jnp.int32)
+        e_bg = jnp.zeros((1 + B * Eg, NBG), jnp.int32)
+        in_g = jnp.zeros((1 + B * A, NBG), jnp.int32)
+        in_cnt = jnp.zeros(1 + B * A, jnp.int32)
+        out_g = jnp.zeros((1 + B * A, NBG), jnp.int32)
+        out_dst = jnp.zeros((1 + B * A, NBG), jnp.int32)
+        out_cnt = jnp.zeros(1 + B * A, jnp.int32)
+        edge_cnt = jnp.zeros(B, jnp.int32)
+        clist = jnp.zeros((B, n_nodes, KE), jnp.int32)
+        ccnt = jnp.zeros((B, n_nodes), jnp.int32)
+
+        sidxS = jnp.arange(S)[None, :]
+        # root graft: add_mol(b, root_ismiles, [], 0) — no attach aliasing,
+        # atoms 0..n_at-1, all bonds new
+        root_n = tabs['n_at'][root_icls]
+        root_valid = sidxS < root_n[:, None]
+        root_atom_f = jnp.where(root_valid,
+                                1 + b_of_a[:, None] + sidxS, 0)
+        a_av = a_av.at[jnp.where(root_valid, root_atom_f, 0)].set(
+            jnp.where(root_valid, tabs['av'][root_icls], 0)).at[0].set(0)
+        carry_g = (a_av, e_av, e_bt, e_nth, e_bg, in_g, in_cnt, out_g,
+                   out_dst, out_cnt, edge_cnt, clist, ccnt)
+        carry_g = self._graft_rows(
+            tabs, carry_g, b_of_e, root_icls, root_atom_f,
+            jnp.ones(B, bool), jnp.zeros(B, jnp.int32),
+            jnp.zeros(B, bool), jnp.zeros(B, jnp.int32), Eg, NBG, KE)
+        (a_av, e_av, e_bt, e_nth, e_bg, in_g, in_cnt, out_g, out_dst,
+         out_cnt, edge_cnt, clist, ccnt) = carry_g
+
+        eyeA = None  # (one-hot built inline)
+
+        def step(carry, inputs):
+            (tree_s, inter_s, graph_s, hatom, hinter,
+             clab, ilab, slot_used, atom_fv, slot_atom, atom_cnt, node_as2,
+             in_deg, agraph, down_row, stack, sp, nxt, poisoned,
+             a_av, e_av, e_bt, e_nth, e_bg, in_g, in_cnt, out_g, out_dst,
+             out_cnt, edge_cnt, clist, ccnt) = carry
+            t, u = inputs
+            active = sp > 0
+            v = stack[ar, jnp.maximum(sp - 1, 0)]
+            v_clab = clab[ar, v]
+            v_il = ilab[ar, v]
+            v_ag = agraph[ar, v]
+
+            # ---- (1) atom-level refresh of the frontier cluster ----------
+            c_rows = clist[ar, v]                              # [B, KE] flat
+            cr_flat = c_rows.reshape(-1)
+            x_g = jnp.concatenate([
+                jnp.eye(self.atom_vocab_size, dtype=jnp.float32)[e_av[cr_flat]],
+                jnp.eye(4, dtype=jnp.float32)[jnp.clip(e_bt[cr_flat], 0, 3)],
+                pos_onehot(e_nth[cr_flat])], axis=-1)
+            graph_s = self._sparse_direct(self.graph_rnn, graph_s, cr_flat,
+                                          x_g, e_bg[cr_flat], self.diterG)
+            gh = self.graph_rnn.hidden(graph_s)
+            p_n = tabs['n_at'][v_il]
+            c_valid = sidxS < p_n[:, None]
+            catoms_l = slot_atom[ar, v]                        # [B, S] local
+            catoms = jnp.where(c_valid & active[:, None],
+                               1 + b_of_a[:, None] + catoms_l, 0)
+            cf = catoms.reshape(-1)
+            node_h = nn.relu(self.W_graph_node(jnp.concatenate(
+                [jnp.eye(self.atom_vocab_size, dtype=jnp.float32)[a_av[cf]],
+                 gh[in_g[cf]].sum(axis=-2)], axis=-1)))
+            hatom = hatom.at[cf].set(
+                jnp.where((cf > 0)[:, None], node_h,
+                          hatom[cf])).at[0].set(0.0)
+
+            # ---- (2) 3-level frontier readout + topology ------------------
+            hclu_v = hatom[catoms].sum(axis=1)                 # [B, H]
+            inter_emb = nn.relu(self.W_i(jnp.concatenate(
+                [self._ei()(v_il), hclu_v], axis=-1)))
+            ih = self.inter_rnn.hidden(inter_s)
+            inter_node = nn.relu(self.W_inter_node(jnp.concatenate(
+                [inter_emb, ih[v_ag].sum(axis=-2)], axis=-1)))
+            v_flat = 1 + ar * n_nodes + v
+            hinter = hinter.at[v_flat].set(
+                jnp.where(active[:, None], inter_node,
+                          hinter[v_flat])).at[0].set(0.0)
+            tree_emb = nn.relu(self.W_c(jnp.concatenate(
+                [self._ec()(v_clab), inter_node], axis=-1)))
+            th0 = self.tree_rnn.hidden(tree_s)
+            tree_node = nn.relu(self.W_tree_node(jnp.concatenate(
+                [tree_emb, th0[v_ag].sum(axis=-2)], axis=-1)))
+            topo_logits = self.topoNN(
+                jnp.concatenate([tree_node, root_vecs], -1), True)[..., 0]
+
+            can_exp = in_deg[ar, v] < max_nb
+            choose = (jax.nn.sigmoid(topo_logits) > u) & can_exp & active
+            top = stack[ar, jnp.maximum(sp - 2, 0)]
+            bt_valid = active & (~choose) & (sp >= 2)
+            bt_pos = jnp.minimum(in_deg[ar, top], MAX_POS - 1)
+            bt_bg = jnp.where(v_ag == down_row[ar, v][:, None], 0, v_ag)
+
+            # ---- (3) speculative message update + motif top-k -------------
+            row_t = base_t + 1 + t
+            rows = jnp.where(choose | bt_valid, row_t, 0)
+            pos = jnp.where(choose, 0, bt_pos)
+            bg = jnp.where(choose[:, None], v_ag, bt_bg)
+            x_i = jnp.concatenate([inter_emb, pos_onehot(pos)], axis=-1)
+            inter_s = self._sparse_direct(self.inter_rnn, inter_s, rows,
+                                          x_i, bg, self.diterT)
+            x_t = jnp.concatenate([
+                nn.relu(self.W_c(jnp.concatenate(
+                    [self._ec()(v_clab), hinter[v_flat]], axis=-1))),
+                pos_onehot(pos)], axis=-1)
+            tree_s = self._sparse_direct(self.tree_rnn, tree_s, rows,
+                                         x_t, bg, self.diterT)
+            th = self.tree_rnn.hidden(tree_s)
+            x_cls = jnp.concatenate([th[rows], root_vecs], axis=-1)
+            cls_s = self.clsNN(x_cls, True)
+            icls_s = self.iclsNN(x_cls, True)
+            scores, cls_k, icls_k = hier_topk(cls_s, icls_s, vocab_mask, beam)
+
+            # ---- (4) candidate enumeration + oracle + scoring -------------
+            p_typ = tabs['stype'][v_il]
+            p_adj = tabs['adj'][v_il]
+            p_ap = tabs['appos'][v_il]
+            p_used = slot_used[ar, v]
+            p_slot_atom = slot_atom[ar, v]
+            p_fv = jnp.take_along_axis(atom_fv, p_slot_atom, axis=1)
+            p_as2 = node_as2[ar, v]
+            p_single = p_n <= 1
+
+            s_valid = sidxS < p_n[:, None]
+            nxt_s = jnp.where(sidxS + 1 >= p_n[:, None], 0, sidxS + 1)
+            prv_s = jnp.where(sidxS == 0, jnp.maximum(p_n[:, None] - 1, 0),
+                              sidxS - 1)
+            t_nxt = jnp.take_along_axis(p_typ, nxt_s, axis=1)
+            t_prv = jnp.take_along_axis(p_typ, prv_s, axis=1)
+            fv_nxt = jnp.take_along_axis(p_fv, nxt_s, axis=1)
+            fv_prv = jnp.take_along_axis(p_fv, prv_s, axis=1)
+            ab_nxt = jnp.take_along_axis(p_adj, nxt_s[:, :, None],
+                                         axis=2)[:, :, 0]
+            ab_prv = jnp.take_along_axis(p_adj, prv_s[:, :, None],
+                                         axis=2)[:, :, 0]
+            ap0, ap1 = p_ap[:, 0:1], p_ap[:, 1:2]
+            excl_f = p_as2[:, None] & (
+                ((sidxS == ap0) & (nxt_s == ap1)) |
+                ((sidxS == ap1) & (nxt_s == ap0)))
+            excl_r = p_as2[:, None] & (
+                ((sidxS == ap0) & (prv_s == ap1)) |
+                ((sidxS == ap1) & (prv_s == ap0)))
+
+            c_il = icls_k                                      # [B, K]
+            c_isz = tabs['isz'][c_il]
+            c_fail = tabs['fail'][c_il]
+            c_sym = tabs['sym'][c_il]
+            c_t0 = tabs['ctype'][c_il][..., 0]
+            c_t1 = tabs['ctype'][c_il][..., 1]
+            c_n0 = tabs['needs'][c_il][..., 0]
+            c_n1 = tabs['needs'][c_il][..., 1]
+            c_apb = tabs['apbond'][c_il]
+            c_track = (~tabs['poison'][c_il]) & (~tabs['noop'][c_il]) & \
+                (~c_fail)
+
+            # membership in get_assm_cands' list (pre-valence), per kind
+            elig1 = s_valid[:, None, :] & (~p_used[:, None, :]) & \
+                (c_isz[..., None] == 1)                        # [B, K, S]
+            tm_f = (p_typ[:, None, :] == c_t0[..., None]) & \
+                (t_nxt[:, None, :] == c_t1[..., None])
+            tm_r = (p_typ[:, None, :] == c_t0[..., None]) & \
+                (t_prv[:, None, :] == c_t1[..., None])
+            pairable = s_valid[:, None, :] & (p_n[:, None, None] >= 2) & \
+                (c_isz[..., None] == 2)
+            elig_f = pairable & (~excl_f[:, None, :]) & tm_f
+            elig_r = pairable & (~excl_r[:, None, :]) & tm_r & \
+                (~c_sym[..., None])
+            # enumeration rank (cand_cap truncation, decode.pack_cands)
+            rank1 = jnp.cumsum(elig1, axis=-1) - 1
+            rank_f = jnp.cumsum(elig_f, axis=-1) - 1
+            nf = elig_f.sum(axis=-1, keepdims=True)
+            # reverse enumeration: largest slot first
+            rank_r = nf + jnp.cumsum(elig_r[..., ::-1], axis=-1)[..., ::-1] - 1
+            n_cands = elig1.sum(-1) + elig_f.sum(-1) + elig_r.sum(-1)
+
+            # oracle feasibility (valence; mirrors try_add_mol)
+            f1 = elig1 & (p_typ[:, None, :] == c_t0[..., None]) & \
+                (p_fv[:, None, :] >= c_n0[..., None])
+            ex_f = (ab_nxt[:, None, :] == 0) * c_apb[..., None]
+            ff = elig_f & (p_fv[:, None, :] >= c_n0[..., None] + ex_f) & \
+                (fv_nxt[:, None, :] >= c_n1[..., None] + ex_f)
+            ex_r = (ab_prv[:, None, :] == 0) * c_apb[..., None]
+            fr = elig_r & (p_fv[:, None, :] >= c_n0[..., None] + ex_r) & \
+                (fv_prv[:, None, :] >= c_n1[..., None] + ex_r)
+
+            # assembly scores against current atom hiddens (hdec_assm)
+            nth_sc = jnp.minimum(in_deg[ar, v], MAX_POS - 1)
+            aflat = lambda loc: jnp.where(
+                s_valid, 1 + b_of_a[:, None] +
+                jnp.take_along_axis(p_slot_atom, loc, 1), 0)
+            a_self = jnp.where(s_valid,
+                               1 + b_of_a[:, None] + p_slot_atom, 0)
+            a_nxt = aflat(nxt_s)
+            a_prv = aflat(prv_s)
+            h_self = hatom[a_self]                             # [B, S, H]
+            h_nxt = hatom[a_nxt]
+            h_prv = hatom[a_prv]
+            ic_e = self._ei()(tabs['a_icls'][c_il])            # [B, K, 2, E]
+            nmask = (jnp.arange(2)[None, None, :] <
+                     tabs['n_anch'][c_il][..., None])          # [B, K, 2]
+            pos_e = pos_onehot(nth_sc)                         # [B, P]
+
+            def pair_score(h0, h1):
+                # [B, S, H] endpoints → [B, K, S] scores
+                hh = jnp.stack([h0, h1], axis=2)               # [B, S, 2, H]
+                hh = hh[:, None]                               # [B,1,S,2,H]
+                ie = ic_e[:, :, None]                          # [B,K,1,2,E]
+                K = ic_e.shape[1]
+                pe = jnp.broadcast_to(
+                    pos_e[:, None, None, None, :],
+                    (B, K, S, 2, pos_e.shape[-1]))
+                hhb = jnp.broadcast_to(hh, (B, K, S, 2, H))
+                ieb = jnp.broadcast_to(ie, (B, K, S, 2, ic_e.shape[-1]))
+                mvec = nn.relu(self.matchNN(
+                    jnp.concatenate([hhb, ieb, pe], axis=-1)))
+                mvec = mvec * nmask[:, :, None, :, None]
+                cand = mvec.sum(axis=3)                        # [B, K, S, H]
+                return (self.W_assm(cand) *
+                        root_vecs[:, None, None, :]).sum(-1)
+
+            sc1 = pair_score(h_self, h_self)
+            scf = pair_score(h_self, h_nxt)
+            scr = pair_score(h_self, h_prv)
+
+            neg = jnp.finfo(jnp.float32).min / 4
+            capped = lambda f, r: f & (r < cand_cap)
+            m1 = capped(f1, rank1)
+            mf = capped(ff, rank_f)
+            mr = capped(fr, rank_r)
+            all_sc = jnp.concatenate([
+                jnp.where(m1, sc1, neg), jnp.where(mf, scf, neg),
+                jnp.where(mr, scr, neg)], axis=-1)             # [B, K, 3S]
+            all_rank = jnp.concatenate([rank1, rank_f, rank_r], axis=-1)
+            feas_any = (m1 | mf | mr).any(-1)                  # [B, K]
+            best = all_sc.max(-1)
+            is_best = all_sc >= best[..., None]
+            # stable tie-break: smallest enumeration rank among max scores
+            pick = jnp.argmin(jnp.where(is_best, all_rank, 10 ** 6),
+                              axis=-1)                         # [B, K]
+            pick_kind = pick // S                              # 0/1/2
+            pick_slot = pick % S
+
+            any_feas = feas_any.any(axis=1)
+            j_star = jnp.argmax(feas_any, axis=1).astype(jnp.int32)
+            take = lambda x: jnp.take_along_axis(
+                x, j_star[:, None], axis=1)[:, 0]
+            new_clab = jnp.where(any_feas, take(cls_k),
+                                 cls_k[:, 0]).astype(jnp.int32)
+            new_ilab = jnp.where(any_feas, take(icls_k),
+                                 icls_k[:, 0]).astype(jnp.int32)
+            kindA = take(pick_kind).astype(jnp.int32)
+            slotA = take(pick_slot).astype(jnp.int32)
+            slotB = jnp.where(
+                kindA == 2,
+                jnp.take_along_axis(prv_s, slotA[:, None], 1)[:, 0],
+                jnp.take_along_axis(nxt_s, slotA[:, None], 1)[:, 0])
+            exA_all = jnp.where(kindA[:, None, None] == 2, ex_r, ex_f)
+            exA_j = jnp.take_along_axis(
+                exA_all, j_star[:, None, None], axis=1)[:, 0]  # [B, S]
+            exA = jnp.take_along_axis(exA_j, slotA[:, None], 1)[:, 0]
+            nc_j = take(n_cands)
+            ct_j = take(c_track)
+            isz_j = take(c_isz)
+            is2 = isz_j == 2
+            c_n0j = take(c_n0)
+            c_n1j = take(c_n1)
+            extraA = c_n0j + jnp.where(is2, exA, 0)
+            extraB = c_n1j + jnp.where(is2, exA, 0)
+
+            # ---- (5) commit bookkeeping (motif dec_propose block) ---------
+            forced = active & choose & (~any_feas)
+            commit = choose & any_feas
+            nn_i = jnp.minimum(nxt, n_nodes - 1)
+            clab = clab.at[ar, nn_i].set(
+                jnp.where(choose, new_clab, clab[ar, nn_i]))
+            ilab = ilab.at[ar, nn_i].set(
+                jnp.where(choose, new_ilab, ilab[ar, nn_i]))
+            down_row = down_row.at[ar, nn_i].set(
+                jnp.where(choose, row_t, down_row[ar, nn_i]))
+            agraph = agraph.at[ar, nn_i, 0].set(
+                jnp.where(choose, row_t, agraph[ar, nn_i, 0]))
+            in_deg = in_deg.at[ar, nn_i].set(
+                jnp.where(choose, 1, in_deg[ar, nn_i]))
+            sp_slot = jnp.minimum(sp, n_nodes - 1)
+            stack = stack.at[ar, sp_slot].set(
+                jnp.where(choose, nn_i, stack[ar, sp_slot]))
+            slot = jnp.minimum(in_deg[ar, top], max_nb - 1)
+            agraph = agraph.at[ar, top, slot].set(
+                jnp.where(bt_valid, row_t, agraph[ar, top, slot]))
+            close_top = bt_valid | (forced & (sp >= 2))
+            in_deg = in_deg.at[ar, top].set(
+                in_deg[ar, top] + close_top.astype(jnp.int32))
+            in_deg = in_deg.at[ar, v].set(
+                in_deg[ar, v] + forced.astype(jnp.int32))
+            push = choose & (~forced)
+            pop = active & (~choose)
+            sp = sp + push.astype(jnp.int32) - pop.astype(jnp.int32) \
+                - forced.astype(jnp.int32)
+            nxt = nxt + choose.astype(jnp.int32)
+
+            do_c = commit & ct_j & (~poisoned)
+            poisoned = poisoned | (commit & (~ct_j))
+            do_pair = do_c & is2
+
+            curA_used = jnp.take_along_axis(p_used, slotA[:, None], 1)[:, 0]
+            curB_used = jnp.take_along_axis(p_used, slotB[:, None], 1)[:, 0]
+            slot_used = slot_used.at[ar, v, slotA].set(
+                jnp.where(do_c & (~p_single), True, curA_used))
+            slot_used = slot_used.at[ar, v, slotB].set(
+                jnp.where(do_pair & (~p_single), True, curB_used))
+            paA = jnp.take_along_axis(p_slot_atom, slotA[:, None], 1)[:, 0]
+            paB = jnp.take_along_axis(p_slot_atom, slotB[:, None], 1)[:, 0]
+            atom_fv = atom_fv.at[ar, paA].add(jnp.where(do_c, -extraA, 0))
+            atom_fv = atom_fv.at[ar, paB].add(jnp.where(do_pair, -extraB, 0))
+
+            ch_used = jnp.where(choose[:, None], tabs['bused'][new_ilab],
+                                slot_used[ar, nn_i])
+            slot_used = slot_used.at[ar, nn_i].set(ch_used)
+            ch_ap = tabs['appos'][new_ilab]
+            isz2c = tabs['isz'][new_ilab] >= 2
+            ch_bfv = tabs['bfv'][new_ilab]
+            ch_new_atom = jnp.minimum(
+                atom_cnt[:, None] + tabs['newrank'][new_ilab], A - 1)
+            ch_atom = jnp.where(
+                sidxS == ch_ap[:, 0:1], paA[:, None],
+                jnp.where(isz2c[:, None] & (sidxS == ch_ap[:, 1:2]),
+                          paB[:, None], ch_new_atom))
+            slot_atom = slot_atom.at[ar, nn_i].set(
+                jnp.where(choose[:, None], ch_atom, slot_atom[ar, nn_i]))
+            ch_valid = sidxS < tabs['n_at'][new_ilab][:, None]
+            wmask = do_c[:, None] & ch_valid & (~tabs['is_att'][new_ilab])
+            wtgt = jnp.where(wmask, ch_atom, A - 1)
+            atom_fv = atom_fv.at[ar[:, None], wtgt].set(ch_bfv)
+            n_new = tabs['n_at'][new_ilab] - 1 - isz2c.astype(jnp.int32)
+            atom_cnt = atom_cnt + jnp.where(do_c, jnp.maximum(n_new, 0), 0)
+            # grafted onto an EXISTING parent bond ⇔ no extra anchor-bond
+            # valence was needed (ex == 0; inc_graph.py:195-196)
+            as2_child = do_pair & (tabs['apbond'][new_ilab] > 0) & (exA == 0)
+            node_as2 = node_as2.at[ar, nn_i].set(
+                jnp.where(choose, as2_child, node_as2[ar, nn_i]))
+
+            # ---- (6) graft atom-level rows --------------------------------
+            # new-atom vocab ids (add_mol's enumerate; attach slots keep
+            # the parent atom's existing a_av)
+            ch_atom_f = jnp.where(ch_valid & do_c[:, None],
+                                  1 + b_of_a[:, None] + ch_atom, 0)
+            av_tgt = jnp.where(wmask, ch_atom_f, 0)
+            a_av = a_av.at[av_tgt].set(
+                jnp.where(wmask, tabs['av'][new_ilab], a_av[av_tgt])
+            ).at[0].set(0)
+            pbond = jnp.take_along_axis(
+                jnp.take_along_axis(p_adj, slotA[:, None, None], 1)[:, 0],
+                slotB[:, None], 1)[:, 0]                       # adj[slotA,slotB]
+            skip_anchor = do_pair & (pbond > 0)
+            nth_edge = jnp.where(nc_j == 1, 0, in_deg[ar, v])
+            carry_g = (a_av, e_av, e_bt, e_nth, e_bg, in_g, in_cnt, out_g,
+                       out_dst, out_cnt, edge_cnt, clist, ccnt)
+            carry_g = self._graft_rows(tabs, carry_g, b_of_e, new_ilab,
+                                       ch_atom_f, do_c, nth_edge,
+                                       skip_anchor, nn_i, Eg, NBG, KE)
+            (a_av, e_av, e_bt, e_nth, e_bg, in_g, in_cnt, out_g, out_dst,
+             out_cnt, edge_cnt, clist, ccnt) = carry_g
+
+            j_pack = jnp.where(choose,
+                               jnp.where(any_feas, j_star, -1), 0)
+            packed = jnp.concatenate(
+                [topo_logits[:, None], choose.astype(jnp.float32)[:, None],
+                 scores, cls_k.astype(jnp.float32),
+                 icls_k.astype(jnp.float32),
+                 j_pack.astype(jnp.float32)[:, None],
+                 new_ilab.astype(jnp.float32)[:, None],
+                 kindA.astype(jnp.float32)[:, None],
+                 slotA.astype(jnp.float32)[:, None]], axis=1)
+            return (tree_s, inter_s, graph_s, hatom, hinter,
+                    clab, ilab, slot_used, atom_fv, slot_atom, atom_cnt,
+                    node_as2, in_deg, agraph, down_row, stack, sp, nxt,
+                    poisoned, a_av, e_av, e_bt, e_nth, e_bg, in_g, in_cnt,
+                    out_g, out_dst, out_cnt, edge_cnt, clist, ccnt), packed
+
+        carry0 = (tree_s, inter_s, graph_s, hatom, hinter,
+                  clab, ilab, slot_used, atom_fv, slot_atom, atom_cnt,
+                  node_as2, in_deg, agraph, down_row, stack, sp, nxt,
+                  poisoned, a_av, e_av, e_bt, e_nth, e_bg, in_g, in_cnt,
+                  out_g, out_dst, out_cnt, edge_cnt, clist, ccnt)
+        xs = (jnp.arange(T, dtype=jnp.int32), u_seq)
+        carry1, packed = jax.lax.scan(step, carry0, xs)
+        if return_state:
+            return packed, root_cls, root_icls, carry1
+        return packed, root_cls, root_icls, carry1[18]

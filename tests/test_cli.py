@@ -181,12 +181,12 @@ def test_quality_run_holdout_pipeline(tiny_csv, tmp_path):
     env = dict(os.environ, JAX_PLATFORMS='cpu')
     r = subprocess.run(
         [sys.executable, 'scripts/quality_run.py', '--data', path,
-         '--epochs', '2', '--ft-epochs', '0', '--min-freq', '5',
+         '--epochs', '1', '--ft-epochs', '0', '--min-freq', '5',
          '--hidden', '32', '--latent', '8', '--batch-size', '8',
          '--holdout', '4', '--enum-root', '2', '--decode-steps', '30',
          '--out', out],
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        env=env, capture_output=True, text=True, timeout=1500)
+        env=env, capture_output=True, text=True, timeout=2400)
     assert r.returncode == 0, r.stderr[-2000:]
     q = json.load(open(out))
     assert q['eval_split'] == 'holdout'

@@ -250,3 +250,49 @@ def test_turbo_ladder_escalation_matches_exact(tiny_model_setup):
     assert s_turbo == s_exact
     assert TURBO_STATS['rungs'][0] == 4          # short rung actually used
     assert len(TURBO_STATS['rungs']) >= 2        # and escalation happened
+
+
+def test_hier_turbo_matches_exact(tiny_model_setup):
+    """Hier device-resident decode ≡ the exact host-interleaved path on
+    both reconstruction latents and prior samples (the scan carries the
+    full 3-level message state, candidate scoring, and IncGraph's row
+    bookkeeping — see HierDecoder.hdec_propose)."""
+    import copy
+    from ggpm_tpu.models.decode import (TURBO_STATS, decode_hier,
+                                        decode_hier_turbo)
+    from ggpm_tpu.models.vae import HierPropertyVAE
+    from ggpm_tpu.train.loop import Trainer
+    from ggpm_tpu.train.optim import make_optimizer
+    st = tiny_model_setup
+    cfg = copy.copy(st['cfg'])
+    cfg.depthG = 3
+    cfg.diterG = 1
+    model = HierPropertyVAE(cfg=cfg)
+    opt = make_optimizer(lr=2e-3, steps_per_epoch=3)
+    tr = Trainer(model, opt, st['vocab'].mask, beta=0.01, print_iter=10 ** 9)
+    params, opt_state = tr.init(st['batches'][0])
+    for _ in range(6):
+        params, opt_state, _ = tr.train_epoch(params, opt_state,
+                                              st['batches'])
+    mb = st['batches'][0]
+    batch = jax.tree.map(jnp.asarray,
+                         to_model_batch(mb, st['vocab'].mask, pad=False))
+    z, _ = model.apply(params, batch['tree'],
+                       method=lambda m, tree: m.encode_latent(
+                           tree, graph=batch['graph'], perturb=False))
+    z = np.asarray(z)
+    _, s_exact = decode_hier(model, params, st['vocab'], common_atom_vocab,
+                             z, greedy=True, max_decode_step=40)
+    _, s_turbo = decode_hier_turbo(model, params, st['vocab'],
+                                   common_atom_vocab, z, greedy=True,
+                                   max_decode_step=40)
+    assert s_turbo == s_exact
+    assert TURBO_STATS['fallbacks'] == 0, TURBO_STATS
+    rng = np.random.default_rng(3)
+    zp = rng.normal(size=(6, st['cfg'].latent_size)).astype(np.float32)
+    _, p_exact = decode_hier(model, params, st['vocab'], common_atom_vocab,
+                             zp, greedy=True, max_decode_step=40)
+    _, p_turbo = decode_hier_turbo(model, params, st['vocab'],
+                                   common_atom_vocab, zp, greedy=True,
+                                   max_decode_step=40)
+    assert p_turbo == p_exact
