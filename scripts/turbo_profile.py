@@ -27,6 +27,9 @@ def main():
     ap.add_argument('--n', type=int, default=120)
     ap.add_argument('--hidden', type=int, default=250)
     ap.add_argument('--latent', type=int, default=24)
+    ap.add_argument('--model', default='prop-opt',
+                    help="registry name ('prop-opt', 'hier-prop', ...); "
+                         'hier models profile the hier turbo/exact paths')
     ap.add_argument('--mode', default='turbo', choices=['turbo', 'exact'])
     ap.add_argument('--profile', action='store_true')
     args = ap.parse_args()
@@ -46,7 +49,7 @@ def main():
     from ggpm_tpu.graph.mol_graph import tensorize
     from ggpm_tpu.graph.vocab import common_atom_vocab
     from ggpm_tpu.models import decode as dec_mod
-    from ggpm_tpu.models.vae import ModelConfig, PropOptVAE
+    from ggpm_tpu.models.vae import ModelConfig, OPVNet
     from ggpm_tpu.train import checkpoint as ckpt
     from ggpm_tpu.train.loop import init_params_on_cpu
 
@@ -57,11 +60,13 @@ def main():
         data = data + data
     data = data[:args.n]
 
+    is_hier = args.model.startswith('hier')
     cfg = ModelConfig(hvocab_size=vocab.size()[0], ivocab_size=vocab.size()[1],
                       rnn_type='LSTM', hidden_size=args.hidden,
                       embed_size=args.hidden, latent_size=args.latent,
-                      linear_hidden_size=128, depthT=20, diterT=1)
-    model = PropOptVAE(cfg=cfg)
+                      linear_hidden_size=128, depthT=20, depthG=20,
+                      diterT=1, diterG=3, remat=is_hier)
+    model = OPVNet.get_model(args.model)(cfg=cfg)
 
     bs = 20
     mb0 = tensorize(data[:bs], vocab, common_atom_vocab)
@@ -76,17 +81,22 @@ def main():
         mb = tensorize(chunk, vocab, common_atom_vocab)
         batch = jax.tree.map(jnp.asarray, to_model_batch(mb, vocab.mask,
                                                          pad=False))
-        z, _ = model.apply(params, batch['tree'],
-                           method=lambda m, t: m.encode_latent(
-                               t, perturb=False))
+        if is_hier:
+            z, _ = model.apply(params, batch['tree'],
+                               method=lambda m, t: m.encode_latent(
+                                   t, graph=batch['graph'], perturb=False))
+        else:
+            z, _ = model.apply(params, batch['tree'],
+                               method=lambda m, t: m.encode_latent(
+                                   t, perturb=False))
         zs.append(np.asarray(z))
     zs = np.concatenate(zs)[:args.n]
     print(f'encoded {len(zs)}', flush=True)
 
     # instrument the turbo loop
     prof_rounds = []
-    orig_replay = dec_mod._replay_pinned
-    orig_propose_holder = {}
+    replay_name = '_replay_hier' if is_hier else '_replay_pinned'
+    orig_replay = getattr(dec_mod, replay_name)
 
     replay_time = [0.0]
     propose_time = [0.0]
@@ -96,10 +106,14 @@ def main():
         out = orig_replay(*a, **k)
         replay_time[0] += time.perf_counter() - t0
         return out
-    dec_mod._replay_pinned = timed_replay
+    setattr(dec_mod, replay_name, timed_replay)
 
-    fn = dec_mod.decode_motif_turbo if args.mode == 'turbo' \
-        else dec_mod.decode_motif
+    if is_hier:
+        fn = dec_mod.decode_hier_turbo if args.mode == 'turbo' \
+            else dec_mod.decode_hier
+    else:
+        fn = dec_mod.decode_motif_turbo if args.mode == 'turbo' \
+            else dec_mod.decode_motif
 
     # warm up compile on a small call
     t0 = time.perf_counter()
@@ -108,8 +122,9 @@ def main():
     print(f'warmup(4): {time.perf_counter()-t0:.1f}s', flush=True)
 
     # patch kernel propose to time it (kernel now exists in cache)
-    kern = dec_mod._get_kernel(dec_mod.MotifDecodeKernel, model, params,
-                               vocab.mask, 5)
+    kern_cls = dec_mod.HierDecodeKernel if is_hier \
+        else dec_mod.MotifDecodeKernel
+    kern = dec_mod._get_kernel(kern_cls, model, params, vocab.mask, 5)
     orig_propose = kern.propose
 
     def timed_propose(*args):
