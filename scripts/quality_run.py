@@ -277,6 +277,9 @@ def main():
     qual['decode_mols_per_sec'] = round(len(recon_pairs) /
                                         max(decode_seconds, 1e-9), 2)
     qual['eval_split'] = 'holdout' if holdout is not None else 'train'
+    # honest provenance: artifacts regenerated on the CPU backend during
+    # relay outages must say so (protocol is identical; wall times differ)
+    qual['platform'] = jax.devices()[0].platform
     print(json.dumps(qual, indent=2, default=float), flush=True)
     with open(args.out, 'w') as f:
         json.dump(qual, f, indent=2, default=float)
