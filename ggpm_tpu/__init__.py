@@ -14,7 +14,10 @@ CLI, script, and test that imports the package inherits the fix
 
 import os as _os
 
-if 'cpu' in _os.environ.get('JAX_PLATFORMS', ''):
+# Exact match only: 'tpu,cpu'-style fallback lists must keep their stated
+# preference order — rewriting those to plain 'cpu' would silently run on
+# CPU beside a healthy accelerator.
+if _os.environ.get('JAX_PLATFORMS', '').strip() == 'cpu':
     import jax as _jax
 
     _jax.config.update('jax_platforms', 'cpu')

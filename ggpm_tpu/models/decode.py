@@ -806,6 +806,13 @@ def _assm_tables(vocab: PairVocab, avocab: Vocab):
         is_att=is_att, av=av, map1=map1, dst_att=dst_att, b_a=b_a, b_b=b_b,
         b_bt=b_bt, b_anch=b_anch, nbond=nbond, a_icls=a_icls, n_anch=n_anch,
         poison=poison).items()}
+    # evict entries whose vocab has died — keyed by id(), a dead entry's
+    # id can be reused by a NEW vocab, and without eviction the multi-MB
+    # device tables of every dead vocab stay resident (same leak class as
+    # the pre-LRU _KERNEL_CACHE)
+    for k in [k for k, (ref, _) in _ASSM_TABLES_CACHE.items()
+              if ref() is None]:
+        del _ASSM_TABLES_CACHE[k]
     _ASSM_TABLES_CACHE[id(vocab)] = (weakref.ref(vocab), tabs)
     return tabs
 
@@ -1049,12 +1056,17 @@ def _hier_candidate(cluster, kind, slot):
 def _replay_hier(trace_b, root_cls_b, root_icls_b, vocab: PairVocab,
                  avocab: Vocab, beam: int, max_nodes: int, max_edges: int):
     """Replay one sample's hier device trace with real chemistry,
-    verifying every assembly decision (the device scored candidates and
-    picked the best FEASIBLE one; chemistry re-checks feasibility of the
-    chosen candidate AND that every skipped beam really had none).
-    Returns ('done', smiles) or ('diverge', None) — hier divergences fall
-    back to the exact path whole (divergence resolution would need device
-    candidate scores the trace does not carry)."""
+    verifying every assembly decision: the device scored candidates and
+    picked the best FEASIBLE one, so chemistry re-checks (a) that every
+    skipped beam really had no feasible assembly, (b) the chosen
+    candidate's feasibility, and (c) the device's per-candidate
+    feasibility bitmasks for the chosen beam against ``try_add_mol`` —
+    an oracle false-negative on a real-feasible candidate would change
+    the within-beam argmax, so any bit mismatch falls back rather than
+    silently diverging.  Returns ('done', smiles) or ('diverge', None) —
+    hier divergences fall back to the exact path whole (divergence
+    resolution would need device candidate scores the trace does not
+    carry)."""
     tree = IncTree(1, max_nodes=max_nodes, max_edges=max_edges, max_nb=12,
                    max_sub_nodes=32)
     graph = IncGraph(avocab, 1, max_nodes=max_nodes,
@@ -1125,6 +1137,41 @@ def _replay_hier(trace_b, root_cls_b, root_icls_b, vocab: PairVocab,
             fa_cluster, _, fa_used = tree.get_cluster(parent)
             cands, _, attach_points = graph.get_assm_cands(
                 fa_cluster, fa_used, ismiles)
+            # verify the device's within-beam feasibility verdict for EVERY
+            # enumerated candidate, not just the chosen one: the device
+            # picks the best-scoring FEASIBLE candidate, so an oracle
+            # false-negative on a real-feasible candidate silently changes
+            # the argmax.  Each host candidate maps back to its (kind,
+            # slot) code; its real feasibility must equal the packed
+            # oracle bit, else fall back to the exact path.
+            fmask = (int(trace_b[t, 2 + 3 * K + 4]),
+                     int(trace_b[t, 2 + 3 * K + 5]),
+                     int(trace_b[t, 2 + 3 * K + 6]))
+            fc = list(fa_cluster)
+            n_fc = len(fc)
+            for c in cands[:24]:
+                cl = list(c)
+                if cl[0] not in fc:
+                    return 'diverge', None
+                s0 = fc.index(cl[0])
+                if s0 >= 24:
+                    return 'diverge', None
+                if len(cl) == 1:
+                    dev_ok = bool((fmask[0] >> s0) & 1)
+                elif n_fc == 2:
+                    # fwd and rev runs coincide for a 2-atom cluster; the
+                    # device may code the pair under either kind
+                    dev_ok = bool(((fmask[1] | fmask[2]) >> s0) & 1)
+                elif cl[-1] == fc[(s0 + 1) % n_fc]:
+                    dev_ok = bool((fmask[1] >> s0) & 1)
+                elif cl[-1] == fc[(s0 - 1) % n_fc]:
+                    dev_ok = bool((fmask[2] >> s0) & 1)
+                else:
+                    return 'diverge', None
+                real_ok = graph.try_add_mol(
+                    0, ismiles, list(zip(cl, attach_points)))
+                if dev_ok != real_ok:
+                    return 'diverge', None
             want = _hier_candidate(list(fa_cluster), kind, slot)
             chosen = None
             if want is not None:

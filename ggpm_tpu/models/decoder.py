@@ -889,7 +889,11 @@ class MotifDecoder(nn.Module):
             n_new = tabs['n_at'][new_ilab] - 1 - isz2c.astype(jnp.int32)
             atom_cnt = atom_cnt + jnp.where(do_c, jnp.maximum(n_new, 0), 0)
             # grafted-onto-existing-bond marker: add_mol records the anchor
-            # pair as used when the bond pre-exists (inc_graph.py:195-196)
+            # pair as used when the bond pre-exists (inc_graph.py:195-196).
+            # NOTE twin in hier_decoder.hdec_propose: there the condition is
+            # `exA == 0` because its exA is the RAW anchor-bond extra
+            # valence, while this file's exA is extraA = needs[0] + raw —
+            # `extraA == needs[0]` ⇔ raw == 0, same predicate
             as2_child = do_pair & (tabs['apbond'][new_ilab] > 0) & \
                 (exA == tabs['needs'][new_ilab][:, 0])
             node_as2 = node_as2.at[ar, nn_i].set(

@@ -663,9 +663,10 @@ class HierDecoder(nn.Module):
         Unlike the motif turbo there is no pinned re-entry: a sample whose
         replay diverges (or that grafts a motif the device cannot track —
         ``tabs['poison']``) falls back to the exact path whole.  Returns
-        (packed [T, B, 2+3·beam+4], root_cls, root_icls, poisoned [B]):
+        (packed [T, B, 2+3·beam+7], root_cls, root_icls, poisoned [B]):
         packed rows are the ``dec_step_fused`` layout + committed beam slot,
-        committed icls, candidate kind (0 fwd/1-pt, 1 rev) and parent slot.
+        committed icls, candidate kind (0 1-pt, 1 fwd, 2 rev), parent slot,
+        and the chosen beam's three S-bit candidate-feasibility masks.
         """
         from .decode import hier_topk
         B = root_vecs.shape[0]
@@ -733,9 +734,13 @@ class HierDecoder(nn.Module):
 
         sidxS = jnp.arange(S)[None, :]
         # root graft: add_mol(b, root_ismiles, [], 0) — no attach aliasing,
-        # atoms 0..n_at-1, all bonds new
+        # atoms 0..n_at-1, all bonds new.  Budget guard mirrors the in-step
+        # one: a root whose rows would not fit poisons the sample up front
+        # (writes from a poisoned root are suppressed via do_c=False).
         root_n = tabs['n_at'][root_icls]
-        root_valid = sidxS < root_n[:, None]
+        root_fits = (2 * tabs['nbond'][root_icls] <= Eg) & (root_n <= A)
+        poisoned = poisoned | ~root_fits
+        root_valid = (sidxS < root_n[:, None]) & root_fits[:, None]
         root_atom_f = jnp.where(root_valid,
                                 1 + b_of_a[:, None] + sidxS, 0)
         a_av = a_av.at[jnp.where(root_valid, root_atom_f, 0)].set(
@@ -744,7 +749,7 @@ class HierDecoder(nn.Module):
                    out_dst, out_cnt, edge_cnt, clist, ccnt)
         carry_g = self._graft_rows(
             tabs, carry_g, b_of_e, root_icls, root_atom_f,
-            jnp.ones(B, bool), jnp.zeros(B, jnp.int32),
+            root_fits, jnp.zeros(B, jnp.int32),
             jnp.zeros(B, bool), jnp.zeros(B, jnp.int32), Eg, NBG, KE)
         (a_av, e_av, e_bt, e_nth, e_bg, in_g, in_cnt, out_g, out_dst,
          out_cnt, edge_cnt, clist, ccnt) = carry_g
@@ -1020,8 +1025,20 @@ class HierDecoder(nn.Module):
                 - forced.astype(jnp.int32)
             nxt = nxt + choose.astype(jnp.int32)
 
-            do_c = commit & ct_j & (~poisoned)
-            poisoned = poisoned | (commit & (~ct_j))
+            # resource-budget guard: a graft that would outrun the sample's
+            # static edge-row budget writes into the NEXT sample's flat
+            # region (cross-sample corruption), and one that outruns the
+            # atom budget clamps onto the shared A-1 slot (silent drift).
+            # Poison such samples instead — they fall back to the exact
+            # host path, preserving turbo's equivalence guarantee.
+            n_new_c = jnp.maximum(
+                tabs['n_at'][new_ilab] - 1 -
+                (tabs['isz'][new_ilab] >= 2).astype(jnp.int32), 0)
+            need_e = 2 * tabs['nbond'][new_ilab]
+            ovf = (edge_cnt + need_e > Eg) | (atom_cnt + n_new_c > A) | \
+                  (ccnt[ar, nn_i] + need_e > KE)
+            do_c = commit & ct_j & (~poisoned) & (~ovf)
+            poisoned = poisoned | (commit & ((~ct_j) | ovf))
             do_pair = do_c & is2
 
             curA_used = jnp.take_along_axis(p_used, slotA[:, None], 1)[:, 0]
@@ -1056,7 +1073,10 @@ class HierDecoder(nn.Module):
             n_new = tabs['n_at'][new_ilab] - 1 - isz2c.astype(jnp.int32)
             atom_cnt = atom_cnt + jnp.where(do_c, jnp.maximum(n_new, 0), 0)
             # grafted onto an EXISTING parent bond ⇔ no extra anchor-bond
-            # valence was needed (ex == 0; inc_graph.py:195-196)
+            # valence was needed (ex == 0; inc_graph.py:195-196).
+            # NOTE twin in decoder.dec_propose: there the predicate reads
+            # `exA == needs[0]` because its exA is extraA = needs[0] + raw;
+            # this file's exA is the raw extra — same predicate
             as2_child = do_pair & (tabs['apbond'][new_ilab] > 0) & (exA == 0)
             node_as2 = node_as2.at[ar, nn_i].set(
                 jnp.where(choose, as2_child, node_as2[ar, nn_i]))
@@ -1085,6 +1105,15 @@ class HierDecoder(nn.Module):
 
             j_pack = jnp.where(choose,
                                jnp.where(any_feas, j_star, -1), 0)
+            # chosen beam's candidate feasibility masks (1-pt / fwd / rev),
+            # one S-bit bitmask each (S = 24 ≤ f32 mantissa, exact) — the
+            # host replay verifies every bit against real chemistry, so an
+            # oracle false-negative that would change the within-beam
+            # argmax triggers fallback instead of silent divergence
+            bitw = (2.0 ** jnp.arange(S, dtype=jnp.float32))[None, None, :]
+            fm1 = take((m1 * bitw).sum(-1))
+            fmf = take((mf * bitw).sum(-1))
+            fmr = take((mr * bitw).sum(-1))
             packed = jnp.concatenate(
                 [topo_logits[:, None], choose.astype(jnp.float32)[:, None],
                  scores, cls_k.astype(jnp.float32),
@@ -1092,7 +1121,8 @@ class HierDecoder(nn.Module):
                  j_pack.astype(jnp.float32)[:, None],
                  new_ilab.astype(jnp.float32)[:, None],
                  kindA.astype(jnp.float32)[:, None],
-                 slotA.astype(jnp.float32)[:, None]], axis=1)
+                 slotA.astype(jnp.float32)[:, None],
+                 fm1[:, None], fmf[:, None], fmr[:, None]], axis=1)
             return (tree_s, inter_s, graph_s, hatom, hinter,
                     clab, ilab, slot_used, atom_fv, slot_atom, atom_cnt,
                     node_as2, in_deg, agraph, down_row, stack, sp, nxt,

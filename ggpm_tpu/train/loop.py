@@ -367,6 +367,19 @@ class Trainer:
         last_sync = self.total_step
 
         def run(params, opt_state, db_list):
+            # a bucket flush carries up to scan_chunk batches; the DP step
+            # consumes exactly n_shards per dispatch, so split the flush
+            # into groups (slicing only the first n_shards would silently
+            # drop the rest of the flush — up to 75% of the data at
+            # n_shards=2, scan_chunk=8)
+            if self.mesh is not None and len(db_list) > self.n_shards:
+                for i in range(0, len(db_list), self.n_shards):
+                    params, opt_state = run_one(
+                        params, opt_state, db_list[i:i + self.n_shards])
+                return params, opt_state
+            return run_one(params, opt_state, db_list)
+
+        def run_one(params, opt_state, db_list):
             nonlocal last_sync
             if self.mesh is not None:
                 # fill a short final group by cycling (repeats get extra
@@ -374,7 +387,7 @@ class Trainer:
                 while len(db_list) < self.n_shards:
                     db_list = db_list + db_list[:self.n_shards - len(db_list)]
                 params, opt_state, metrics, aux = self.dp_step(
-                    params, opt_state, db_list[:self.n_shards])
+                    params, opt_state, db_list)
             elif len(db_list) == 1:
                 params, opt_state, metrics, aux = self.train_step(
                     params, opt_state, db_list[0])
@@ -444,6 +457,13 @@ class Trainer:
         acc = MetricAccumulator()
         for mb in data:
             batch = self._device_batch(mb)
+            if 'vocab_mask' not in batch:
+                # the mesh-path _device_batch strips the mask (dp_step
+                # re-attaches it per shard); evaluation runs single-device,
+                # so restore the shared device copy here
+                if getattr(self, '_mask_dev', None) is None:
+                    self._mask_dev = jnp.asarray(self.vocab_mask)
+                batch = dict(batch, vocab_mask=self._mask_dev)
             self.rng, r = jax.random.split(self.rng)
             loss, metrics = self.eval_fn(params, batch, r)
             acc.add(metrics)

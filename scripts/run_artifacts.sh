@@ -41,7 +41,7 @@ run() {
   return $rc
 }
 
-steps=${*:-bench mfu hopv_test curated_test optimize_curated parity}
+steps=${*:-bench mfu hopv_test curated_test optimize_curated_soft optimize_curated_patience optimize_curated_hard parity}
 
 for s in $steps; do
   case $s in

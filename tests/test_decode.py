@@ -296,3 +296,38 @@ def test_hier_turbo_matches_exact(tiny_model_setup):
                                    common_atom_vocab, zp, greedy=True,
                                    max_decode_step=40)
     assert p_turbo == p_exact
+
+
+def test_hier_propose_budget_poisons(tiny_model_setup):
+    """A graft that would outrun the static edge-row budget (Eg) poisons
+    the sample in-scan — forcing exact-path fallback — instead of writing
+    message rows into the NEXT sample's flat region (cross-sample
+    corruption).  Run hdec_propose with Eg=0: every committed motif that
+    needs any edge rows must come out poisoned."""
+    import copy
+    from ggpm_tpu.models.decode import _assm_tables
+    from ggpm_tpu.models.vae import HierPropertyVAE
+    from ggpm_tpu.train.loop import Trainer
+    from ggpm_tpu.train.optim import make_optimizer
+    st = tiny_model_setup
+    cfg = copy.copy(st['cfg'])
+    cfg.depthG = 3
+    cfg.diterG = 1
+    model = HierPropertyVAE(cfg=cfg)
+    opt = make_optimizer(lr=2e-3, steps_per_epoch=3)
+    tr = Trainer(model, opt, st['vocab'].mask, beta=0.01, print_iter=10 ** 9)
+    params, _ = tr.init(st['batches'][0])
+    tabs = _assm_tables(st['vocab'], common_atom_vocab)
+    K, B, T = 5, 4, 10
+    rng = np.random.default_rng(0)
+    rv = rng.normal(size=(B, st['cfg'].latent_size)).astype(np.float32)
+    u = jnp.full((T, B), 0.5, jnp.float32)
+    packed, _, _, poisoned = model.apply(
+        params, jnp.asarray(rv), jnp.asarray(st['vocab'].mask), u, tabs, K,
+        method=lambda m, *a: m._decoder().hdec_propose(*a, Eg=0))
+    packed = np.asarray(packed)
+    poisoned = np.asarray(poisoned)
+    commit = (packed[:, :, 1] > 0.5) & (packed[:, :, 2 + 3 * K] >= 0)
+    nbond = np.asarray(tabs['nbond'])[packed[:, :, 2 + 3 * K + 1].astype(int)]
+    needs_rows = (commit & (nbond > 0)).any(axis=0)
+    assert np.all(poisoned[needs_rows]), (poisoned, needs_rows)
