@@ -145,3 +145,30 @@ def test_gspmd_dp_tp_step(tiny_model_setup):
     # shards must match a single shard's loss
     np.testing.assert_allclose(float(metrics['Loss']), single, rtol=1e-4)
     assert any('model' in str(x.sharding.spec) for x in jax.tree.leaves(p2))
+
+
+def test_train_epoch_dp_consumes_whole_flush(tiny_model_setup):
+    """A bucket flush carries up to scan_chunk batches; the DP path must
+    train on ALL of them in n_shards-sized groups, not just the first
+    n_shards (regression: 75% of the data was silently dropped at
+    n_shards=2, scan_chunk=8)."""
+    from ggpm_tpu.train.loop import Trainer
+    st = tiny_model_setup
+    mesh = make_mesh(2)
+    opt = make_optimizer(lr=1e-3, steps_per_epoch=10)
+    tr = Trainer(st['model'], opt, st['vocab'].mask, beta=0.01,
+                 print_iter=10 ** 9, mesh=mesh)
+    params, opt_state = tr.init(st['batches'][0])
+    calls = []
+    orig = tr.dp_step
+
+    def counting(p, o, dbl, *a, **k):
+        calls.append(len(dbl))
+        return orig(p, o, dbl, *a, **k)
+    tr.dp_step = counting
+    data = [st['batches'][0]] * 8        # one flush of 8 same-shape batches
+    mols0 = tr.mols_seen
+    tr.train_epoch(params, opt_state, data, scan_chunk=8)
+    assert calls == [2, 2, 2, 2], calls  # 4 groups of n_shards=2
+    n_mols = len(st['batches'][0].smiles)
+    assert tr.mols_seen - mols0 == 8 * n_mols
