@@ -102,9 +102,15 @@ def main():
         print(f'evaluating on {len(holdout)} molecules from '
               f'{args.eval_data}; training on {len(data)}', flush=True)
     elif args.holdout > 0:
-        # deterministic split: vocab comes from the full set (the reference
-        # extracts its motif vocab from all data too), training never sees
-        # the held-out molecules
+        # deterministic split: the motif vocab comes from the FULL set so
+        # held-out molecules are tensorizable at eval time.  (The reference
+        # builds its vocab from the training set only — README step 1 —
+        # but it also never evaluates held-out molecules: its
+        # reconstruction CSVs reconstruct training data, and its
+        # MoleculeDataset silently drops out-of-vocab molecules.  A
+        # train-only vocab would make holdout reconstruction undefined for
+        # any molecule with unseen motifs.)  Training never sees the
+        # held-out molecules' tensors; only motif IDENTITIES leak.
         import random as _random
         _random.Random(1).shuffle(data)
         holdout, data = data[:args.holdout], data[args.holdout:]
