@@ -43,10 +43,14 @@ for s in $steps; do
         --out runs/QUALITY_hopv_test.json \
         --dump-recon runs/recon_hopv_test.csv ;;
     polymers_test)
+      # CPU-feasible variant of the TPU step: 30 epochs (same optimizer
+      # -step count as the HOPV protocol at 250 batches/epoch) and a
+      # 1000-mol eval slice of the untouched test.txt (enum-root 2)
       run polymers_test 28800 python scripts/quality_run.py \
         --data /root/reference/data/polymers/valid.txt --limit 5000 \
-        --min-freq 40 --epochs 60 --ft-epochs 0 \
+        --min-freq 40 --epochs 30 --ft-epochs 0 \
         --eval-data /root/reference/data/polymers/test.txt \
+        --eval-limit 1000 --enum-root 2 \
         --out runs/QUALITY_polymers_test.json ;;
     turbo_motif)
       run turbo_motif 3600 python scripts/turbo_profile.py --n 120 ;;
