@@ -49,6 +49,12 @@ def main():
                     help='autoregressive decode budget (reference cap 150; '
                          'lower it for smoke tests — compile time scales '
                          'with the scan length)')
+    ap.add_argument('--load-ckpt', default=None,
+                    help='initialise params from this checkpoint instead of '
+                         'training from scratch (combine with --epochs 0 '
+                         '--ft-epochs 0 for an eval-only run; --data/'
+                         '--min-freq must match the saving run so the '
+                         'rebuilt vocab is identical)')
     ap.add_argument('--dump-recon', default=None,
                     help='write original,reconstructed,org_homo,org_lumo,'
                          'homo,lumo CSV (reference reconstruct.py:78-97 '
@@ -138,6 +144,10 @@ def main():
                          steps_per_epoch=len(batches))
     trainer = Trainer(model, opt, vocab.mask, beta=0.1, print_iter=500)
     params, opt_state = trainer.init(batches[0])
+    if args.load_ckpt:
+        from ggpm_tpu.train import checkpoint as _ckpt
+        params = _ckpt.load_params(params, args.load_ckpt)
+        print(f'loaded params from {args.load_ckpt}', flush=True)
     dev_batches = [trainer._device_batch(mb) for mb in batches]
 
     # group same-shape batches and run each group's steps as ONE lax.scan
@@ -154,7 +164,9 @@ def main():
     singles = [len(g) == 1 for g in groups.values()]
 
     t0 = time.time()
-    for epoch in range(args.epochs + args.ft_epochs):
+    n_epochs = args.epochs + args.ft_epochs
+    metrics = None
+    for epoch in range(n_epochs):
         for st_batch, single in zip(stacks, singles):
             if single:
                 params, opt_state, metrics, _ = trainer.train_step(
@@ -172,7 +184,8 @@ def main():
             m = {k: round(float(np.asarray(v).reshape(-1)[-1]), 3)
                  for k, v in metrics.items()}
             print(f'epoch {epoch}: {m}', flush=True)
-    device_sync(metrics)
+    if metrics is not None:
+        device_sync(metrics)
     print(f'trained in {time.time()-t0:.0f}s', flush=True)
     ev = trainer.evaluate(params, batches)
     print('final train metrics:', {k: round(v, 3) for k, v in ev.items()}, flush=True)
