@@ -147,18 +147,23 @@ def _get_kernel(cls, model, params, vocab_mask, beam):
     return kern
 
 
-def _check_no_attention(model):
+def _check_no_attention(model, has_src: bool = False):
     """use_attention models condition their heads on encoder node memory at
-    TRAINING time, but every decode kernel hard-codes the latent as context
-    — decoding such a model would silently degrade generations.  Refuse
-    loudly instead (threading src_mem through decode is future work)."""
+    TRAINING time; decoding one WITHOUT that memory would silently degrade
+    generations (heads see contexts they were never trained on — ADVICE
+    r2).  The exact motif path threads ``src_mem``/``src_scope`` (pass the
+    output of the model's ``encode_attention_memory``); callers that don't
+    — prior sampling, the turbo paths — refuse loudly instead."""
     cfg = getattr(model, 'cfg', None)
-    if cfg is not None and getattr(cfg, 'use_attention', False):
+    if cfg is not None and getattr(cfg, 'use_attention', False) \
+            and not has_src:
         raise NotImplementedError(
-            'decode kernels do not thread encoder attention memory: a model '
-            'built with use_attention=True would be decoded with contexts '
-            'its heads were never trained on (see ADVICE r2). Train without '
-            'use_attention for decoding, or extend the decode kernels.')
+            'this decode path does not thread encoder attention memory: a '
+            'model built with use_attention=True would be decoded with '
+            'contexts its heads were never trained on (see ADVICE r2). '
+            'For reconstruction, pass src_mem/src_scope from '
+            'encode_attention_memory to decode_motif; prior sampling has '
+            'no source molecule, so train without use_attention for it.')
 
 
 class MotifDecodeKernel:
@@ -203,14 +208,15 @@ class MotifDecodeKernel:
 
         def step(params, state, v_clab, agraph_rows, can_expand, u, new_rows,
                  exp_src_clab, exp_bg_rows, bt_valid, bt_src_clab, bt_pos,
-                 bt_bg_rows, root_vecs, mask):
+                 bt_bg_rows, root_vecs, mask, src_mem, src_mask):
             return model.apply(
                 params, state, v_clab, agraph_rows, can_expand, u, new_rows,
                 exp_src_clab, exp_bg_rows, bt_valid, bt_src_clab, bt_pos,
-                bt_bg_rows, root_vecs, mask, beam,
+                bt_bg_rows, root_vecs, mask, beam, src_mem, src_mask,
                 method=lambda m, *a: m._decoder().dec_step_fused(*a))
         _step_fused = jax.jit(step)
-        self.step_fused = lambda *a: _step_fused(self.params, *a, self.mask)
+        self.step_fused = lambda *a, src_mem=None, src_mask=None: \
+            _step_fused(self.params, *a, self.mask, src_mem, src_mask)
         self._topk = jax.jit(lambda c, i, m: hier_topk(c, i, m, beam))
 
         def propose(params, root_vecs, mask, u_seq, pin_op, pin_clab,
@@ -1334,17 +1340,30 @@ def decode_motif(model, params, vocab: PairVocab, avocab: Vocab,
                  max_decode_step: int = 150, beam: int = 5,
                  max_nodes: int = 400, max_edges: int = 500,
                  rng: Optional[np.random.Generator] = None,
-                 log_steps: bool = True):
+                 log_steps: bool = True,
+                 src_mem=None, src_scope=None):
     """Decode a batch of latent vectors into molecules.
+
+    ``src_mem``/``src_scope`` (from the model's ``encode_attention_memory``)
+    enable attention-aware decoding of ``use_attention`` models: the topo
+    and cls heads attend over the encoder's node memory exactly as in
+    training.  The reference's own attention decode path is unusable (its
+    torch.bmm over 2-D gathered vectors throws), so this exceeds parity.
 
     Returns (results, smiles_list); ``results[b]`` is a list of per-step log
     dicts mirroring the reference's ``results`` structure
     (decoder.py:924-948, 993, 1035-1036, 1072)."""
     rng = rng or np.random.default_rng(0)
-    _check_no_attention(model)
+    _check_no_attention(model, has_src=src_mem is not None)
     root_vecs = jnp.asarray(root_vecs)
     batch_size = root_vecs.shape[0]
     results = [[] for _ in range(batch_size)]
+
+    src_mask = None
+    if src_mem is not None:
+        from .decoder import scope_mask
+        src_mem = jnp.asarray(src_mem)
+        src_mask = scope_mask(jnp.asarray(src_scope), src_mem.shape[0])
 
     tree = IncTree(batch_size, max_nodes=max_nodes, max_edges=max_edges)
     graph = IncGraph(avocab, batch_size, max_nodes=max_nodes,
@@ -1353,7 +1372,7 @@ def decode_motif(model, params, vocab: PairVocab, avocab: Vocab,
 
     # --- root prediction (reference decoder.py:914-948) -------------------
     kern = _get_kernel(MotifDecodeKernel, model, params, vocab.mask, beam)
-    cls_scores, icls_scores = kern.root_cls(root_vecs)
+    cls_scores, icls_scores = kern.root_cls(root_vecs, src_mem, src_mask)
     root_cls = np.asarray(jnp.argmax(cls_scores, axis=-1))
     icls_masked = np.asarray(icls_scores) + vocab.get_mask(root_cls)
     root_icls = icls_masked.argmax(axis=-1)
@@ -1424,7 +1443,8 @@ def decode_motif(model, params, vocab: PairVocab, avocab: Vocab,
             jnp.asarray(can_exp), jnp.asarray(u), jnp.asarray(new_rows),
             jnp.asarray(v_clab), jnp.asarray(agraph_rows),
             jnp.asarray(bt_valid), jnp.asarray(v_clab),
-            jnp.asarray(bt_pos), jnp.asarray(bt_bg), root_vecs)
+            jnp.asarray(bt_pos), jnp.asarray(bt_bg), root_vecs,
+            src_mem=src_mem, src_mask=src_mask)
         # ONE host sync / tunnel round-trip per step
         packed = np.asarray(packed)
         topo_p = 1.0 / (1.0 + np.exp(-packed[:, 0]))

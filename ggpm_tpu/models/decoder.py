@@ -451,39 +451,58 @@ class MotifDecoder(nn.Module):
                 for s, nr in zip(state, new))
         return state
 
-    def dec_topo(self, state, v_clab, agraph_rows, root_vecs):
+    def _dec_ctx(self, query, head, root_ctx, src_mem, src_mask):
+        """Decode-time head context.  With encoder node memory provided and
+        ``use_attention`` set, attend over it exactly as the training heads
+        do (``_losses``); otherwise the latent is the context (non-attention
+        models, and prior sampling where no source molecule exists)."""
+        if self.use_attention and src_mem is not None:
+            return attend(src_mem, src_mask, query, head)
+        return root_ctx
+
+    def dec_topo(self, state, v_clab, agraph_rows, root_vecs,
+                 src_mem=None, src_mask=None):
         """Frontier-node readout + topology logit (expand vs backtrack)."""
         h = self.rnn.hidden(state)
         nei = h[agraph_rows].sum(axis=-2)
         node_h = nn.relu(self.W_node(
             jnp.concatenate([self._ec()(v_clab), nei], axis=-1)))
-        return self.topo_logit(None, root_vecs, node_h)
+        ctx = self._dec_ctx(node_h, self.A_topo if self.use_attention
+                            else None, root_vecs, src_mem, src_mask)
+        return self.topo_logit(None, ctx, node_h)
 
-    def dec_cls(self, state, rows, root_vecs):
+    def dec_cls(self, state, rows, root_vecs, src_mem=None, src_mask=None):
         """Motif/attachment logits from the new expand messages."""
         h = self.rnn.hidden(state)
-        return self.cls_logits(h[rows], root_vecs)
+        ctx = self._dec_ctx(h[rows], self.A_cls if self.use_attention
+                            else None, root_vecs, src_mem, src_mask)
+        return self.cls_logits(h[rows], ctx)
 
     def dec_update_cls_topk(self, state, rows, src_clab, pos, bgraph_rows,
-                            root_vecs, vocab_mask, beam: int):
+                            root_vecs, vocab_mask, beam: int,
+                            src_mem=None, src_mask=None):
         """Fused decode step: message update + motif logits + hierarchical
         top-k in one device call (minimises host↔device roundtrips per
         decode step)."""
         from .decode import hier_topk
         state = self.dec_update(state, rows, src_clab, pos, bgraph_rows)
-        cls_scores, icls_scores = self.dec_cls(state, rows, root_vecs)
+        cls_scores, icls_scores = self.dec_cls(state, rows, root_vecs,
+                                               src_mem, src_mask)
         scores, cls_k, icls_k = hier_topk(cls_scores, icls_scores,
                                           vocab_mask, beam)
         return state, scores, cls_k, icls_k
 
-    def dec_root_cls(self, root_vecs):
+    def dec_root_cls(self, root_vecs, src_mem=None, src_mask=None):
         init = self.root_vecs_to_hidden(root_vecs)
-        return self.cls_logits(init, root_vecs)
+        ctx = self._dec_ctx(init, self.A_cls if self.use_attention
+                            else None, root_vecs, src_mem, src_mask)
+        return self.cls_logits(init, ctx)
 
     def dec_step_fused(self, state, v_clab, agraph_rows, can_expand, u,
                        new_rows, exp_src_clab, exp_bg_rows,
                        bt_valid, bt_src_clab, bt_pos, bt_bg_rows,
-                       root_vecs, vocab_mask, beam: int):
+                       root_vecs, vocab_mask, beam: int,
+                       src_mem=None, src_mask=None):
         """ONE device call per decode step (speculative branch selection).
 
         The per-step decode round-trip is tunnel-latency-bound (~26 ms per
@@ -504,7 +523,8 @@ class MotifDecoder(nn.Module):
         replays the identical ``choose`` to keep tree state in lockstep.
         """
         from .decode import hier_topk
-        topo_logits = self.dec_topo(state, v_clab, agraph_rows, root_vecs)
+        topo_logits = self.dec_topo(state, v_clab, agraph_rows, root_vecs,
+                                    src_mem, src_mask)
         choose = (jax.nn.sigmoid(topo_logits) > u) & can_expand
         valid = choose | bt_valid
         rows = jnp.where(valid, new_rows, 0)
@@ -512,7 +532,8 @@ class MotifDecoder(nn.Module):
         pos = jnp.where(choose, 0, bt_pos)
         bg = jnp.where(choose[:, None], exp_bg_rows, bt_bg_rows)
         state = self.dec_update(state, rows, src_clab, pos, bg)
-        cls_scores, icls_scores = self.dec_cls(state, rows, root_vecs)
+        cls_scores, icls_scores = self.dec_cls(state, rows, root_vecs,
+                                               src_mem, src_mask)
         scores, cls_k, icls_k = hier_topk(cls_scores, icls_scores,
                                           vocab_mask, beam)
         # pack every host-bound output into ONE array: each fetched array

@@ -145,6 +145,14 @@ class PropertyVAE(nn.Module):
         z, kl = self.rsample(root, rng, perturb)
         return z, kl
 
+    def encode_attention_memory(self, tree, deterministic=True):
+        """(src_mem, scope) for attention-aware reconstruction decoding:
+        the encoder's node hiddens projected by ``A_mem`` (the same memory
+        the training heads attend over) and the per-sample scope windows.
+        Pass both to ``decode_motif(src_mem=..., src_scope=...)``."""
+        _, node = self.encoder(tree, deterministic)
+        return self.A_mem(node), tree['scope']
+
     def decoder_loss(self, tree, plan, root_vecs, vocab_mask, deterministic):
         return self.decoder(tree, plan, root_vecs, vocab_mask, deterministic)
 
@@ -188,6 +196,9 @@ class PropOptVAE(nn.Module):
 
     def encode_latent(self, tree, rng=None, perturb=False, deterministic=True):
         return self.vae.encode_latent(tree, rng, perturb, deterministic)
+
+    def encode_attention_memory(self, tree, deterministic=True):
+        return self.vae.encode_attention_memory(tree, deterministic)
 
     def predict_properties(self, z, deterministic=True):
         return self.property_optim.predict(
@@ -406,6 +417,9 @@ class PropOptSchedulingVAE(nn.Module):
 
     def encode_latent(self, tree, rng=None, perturb=False, deterministic=True):
         return self.vae.encode_latent(tree, rng, perturb, deterministic)
+
+    def encode_attention_memory(self, tree, deterministic=True):
+        return self.vae.encode_attention_memory(tree, deterministic)
 
     def predict_properties(self, z, deterministic=True):
         return self.property_optim.predict(

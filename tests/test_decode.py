@@ -331,3 +331,50 @@ def test_hier_propose_budget_poisons(tiny_model_setup):
     nbond = np.asarray(tabs['nbond'])[packed[:, :, 2 + 3 * K + 1].astype(int)]
     needs_rows = (commit & (nbond > 0)).any(axis=0)
     assert np.all(poisoned[needs_rows]), (poisoned, needs_rows)
+
+
+def test_attention_model_decode_with_src_mem(tiny_model_setup):
+    """use_attention models decode with their heads attending over the
+    encoder's node memory (the contexts they were trained with) when
+    src_mem/src_scope are passed; without them the guard still refuses.
+    The reference's own attention decode path is unusable (torch.bmm over
+    2-D gathered vectors throws), so this exceeds parity."""
+    import copy
+
+    import pytest
+
+    from ggpm_tpu.models.decode import decode_motif
+    from ggpm_tpu.models.vae import PropertyVAE
+    from ggpm_tpu.train.loop import Trainer
+    from ggpm_tpu.train.optim import make_optimizer
+    st = tiny_model_setup
+    cfg = copy.copy(st['cfg'])
+    cfg.use_attention = True
+    model = PropertyVAE(cfg=cfg)
+    opt = make_optimizer(lr=2e-3, steps_per_epoch=3)
+    tr = Trainer(model, opt, st['vocab'].mask, beta=0.01, print_iter=10 ** 9)
+    params, opt_state = tr.init(st['batches'][0])
+    for _ in range(8):
+        params, opt_state, _ = tr.train_epoch(params, opt_state,
+                                              st['batches'])
+    mb = st['batches'][0]
+    batch = jax.tree.map(jnp.asarray,
+                         to_model_batch(mb, st['vocab'].mask, pad=False))
+    z, _ = model.apply(params, batch['tree'],
+                       method=lambda m, t: m.encode_latent(t, perturb=False))
+    src_mem, scope = model.apply(
+        params, batch['tree'],
+        method=lambda m, t: m.encode_attention_memory(t))
+
+    with pytest.raises(NotImplementedError):
+        decode_motif(model, params, st['vocab'], common_atom_vocab,
+                     np.asarray(z), greedy=True, max_decode_step=40,
+                     log_steps=False)
+
+    _, smiles = decode_motif(model, params, st['vocab'], common_atom_vocab,
+                             np.asarray(z), greedy=True, max_decode_step=40,
+                             log_steps=False, src_mem=src_mem,
+                             src_scope=np.asarray(scope))
+    assert len(smiles) == len(mb.smiles)
+    valid = [s for s in smiles if s and get_mol(s) is not None]
+    assert len(valid) >= len(smiles) * 0.5, smiles
