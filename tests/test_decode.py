@@ -378,3 +378,67 @@ def test_attention_model_decode_with_src_mem(tiny_model_setup):
     assert len(smiles) == len(mb.smiles)
     valid = [s for s in smiles if s and get_mol(s) is not None]
     assert len(valid) >= len(smiles) * 0.5, smiles
+
+
+def test_hier_replay_catches_mask_tampering(tiny_model_setup):
+    """The hier replay verifies the device's per-candidate feasibility
+    bitmasks against real chemistry: clearing the CHOSEN candidate's bit
+    (an induced oracle false-negative) must make _replay_hier fall back
+    ('diverge'), not silently accept the trace."""
+    import copy
+    from ggpm_tpu.models.decode import (_assm_tables, _replay_hier,
+                                        _hier_candidate)
+    from ggpm_tpu.models.vae import HierPropertyVAE
+    from ggpm_tpu.train.loop import Trainer
+    from ggpm_tpu.train.optim import make_optimizer
+    st = tiny_model_setup
+    cfg = copy.copy(st['cfg'])
+    cfg.depthG = 3
+    cfg.diterG = 1
+    model = HierPropertyVAE(cfg=cfg)
+    opt = make_optimizer(lr=2e-3, steps_per_epoch=3)
+    tr = Trainer(model, opt, st['vocab'].mask, beta=0.01, print_iter=10 ** 9)
+    params, opt_state = tr.init(st['batches'][0])
+    for _ in range(6):
+        params, opt_state, _ = tr.train_epoch(params, opt_state,
+                                              st['batches'])
+    tabs = _assm_tables(st['vocab'], common_atom_vocab)
+    K, B, T = 5, 6, 25
+    rng = np.random.default_rng(5)
+    rv = rng.normal(size=(B, st['cfg'].latent_size)).astype(np.float32)
+    u = jnp.full((T, B), 0.5, jnp.float32)
+    packed, rc, ri, poisoned = model.apply(
+        params, jnp.asarray(rv), jnp.asarray(st['vocab'].mask), u, tabs, K,
+        method=lambda m, *a: m._decoder().hdec_propose(*a))
+    packed = np.asarray(packed)
+    rc, ri = np.asarray(rc), np.asarray(ri)
+    poisoned = np.asarray(poisoned)
+
+    tampered = 0
+    for b in range(B):
+        if poisoned[b]:
+            continue
+        # clean trace must replay
+        status, out = _replay_hier(packed[:, b, :], rc[b], ri[b],
+                                   st['vocab'], common_atom_vocab, K,
+                                   400, 500)
+        if status != 'done' or out is None:
+            continue
+        # find the first commit step and clear the chosen candidate's bit
+        for t in range(T):
+            if packed[t, b, 1] > 0.5 and packed[t, b, 2 + 3 * K] >= 0:
+                kind = int(packed[t, b, 2 + 3 * K + 2])
+                slot = int(packed[t, b, 2 + 3 * K + 3])
+                col = 2 + 3 * K + 4 + (0 if kind == 0 else
+                                       (1 if kind == 1 else 2))
+                bad = packed[:, b, :].copy()
+                mask = int(bad[t, col])
+                if not (mask >> slot) & 1:
+                    continue
+                bad[t, col] = float(mask & ~(1 << slot))
+                status2, _ = _replay_hier(bad, rc[b], ri[b], st['vocab'],
+                                          common_atom_vocab, K, 400, 500)
+                assert status2 == 'diverge', (b, t, kind, slot)
+                tampered += 1
+                break
+    assert tampered >= 1, 'no tamperable commit step found'
