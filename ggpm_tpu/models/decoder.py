@@ -252,14 +252,23 @@ class MotifDecoder(nn.Module):
                 return_per_sample=False):
         active = plan['active']
         T = topo_vecs.shape[0]
-        latent_b = jnp.broadcast_to(root_vecs[None], (T, batch_size, self.latent_size))
+        # lane-packed plans (batching.compact_plan_dict) carry mol_lane
+        # [T, L]: slot (t, l) belongs to molecule mol_lane[t, l], so every
+        # per-molecule context becomes a gather instead of a broadcast
+        mol_lane = plan.get('mol_lane')
+        if mol_lane is not None:
+            latent_b = root_vecs[mol_lane]
+        else:
+            latent_b = jnp.broadcast_to(root_vecs[None],
+                                        (T, batch_size, self.latent_size))
 
         att = self.use_attention and src_mem is not None
         if att:
             mask = scope_mask(scope, src_mem.shape[0])
-            topo_ctx = attend(src_mem, mask, topo_vecs, self.A_topo)
+            mask_steps = mask[mol_lane] if mol_lane is not None else mask
+            topo_ctx = attend(src_mem, mask_steps, topo_vecs, self.A_topo)
             root_cls_ctx = attend(src_mem, mask, init_vecs, self.A_cls)
-            step_cls_ctx = attend(src_mem, mask, cls_vecs, self.A_cls)
+            step_cls_ctx = attend(src_mem, mask_steps, cls_vecs, self.A_cls)
         else:
             topo_ctx = latent_b
             root_cls_ctx = root_vecs
@@ -310,15 +319,16 @@ class MotifDecoder(nn.Module):
                               plan['assm_nth'], deterministic)        # [T,B,H]
         bias = self.W_assm(jnp.zeros((self.hidden_size,)))
         if att:
-            assm_ctx = attend(src_mem, mask, mvec, self.A_assm)
+            assm_ctx = attend(src_mem, mask_steps, mvec, self.A_assm)
             pad_ctx = attend(src_mem, mask,
                              jnp.zeros((batch_size, self.hidden_size)),
                              self.A_assm)
             s = (self.W_assm(mvec) * assm_ctx).sum(-1)
-            p = (bias * pad_ctx).sum(-1)[None, :]
+            p_mol = (bias * pad_ctx).sum(-1)                           # [B]
         else:
             s = (self.W_assm(mvec) * latent_b).sum(-1)                 # real-cand score
-            p = (bias * root_vecs).sum(-1)[None, :]                    # pad-slot score
+            p_mol = (bias * root_vecs).sum(-1)                         # pad-slot score [B]
+        p = p_mol[mol_lane] if mol_lane is not None else p_mol[None, :]
         nc = plan['assm_nc'].astype(jnp.float32)
         maxc = plan['max_cls_size'].astype(jnp.float32)
         m = jnp.maximum(s, p)
@@ -339,13 +349,22 @@ class MotifDecoder(nn.Module):
         }
         if return_per_sample:
             # per-sample loss partition (mean_forward): summing these over the
-            # batch reproduces loss * batch_size exactly
-            topo_ps = (topo_bce * act_f).sum(0)
+            # batch reproduces loss * batch_size exactly.  Lane-packed plans
+            # mix molecules within a lane, so the partition is a segment-sum
+            # over mol_lane instead of a sum over the step axis (inactive
+            # slots carry zero terms and land in segment 0 harmlessly).
+            if mol_lane is not None:
+                seg = lambda x: jax.ops.segment_sum(
+                    x.reshape(-1), mol_lane.reshape(-1),
+                    num_segments=batch_size)
+            else:
+                seg = lambda x: x.sum(0)
+            topo_ps = seg(topo_bce * act_f)
             cls_ps = ce(root_cls_logits, plan['root_clab']) + \
-                (ce(step_cls_logits, plan['clab']) * has_cls).sum(0)
+                seg(ce(step_cls_logits, plan['clab']) * has_cls)
             icls_ps = ce(root_icls_logits, plan['root_ilab']) + \
-                (ce(step_icls_logits, plan['ilab']) * has_cls).sum(0)
-            assm_ps = ((lse - s) * has_assm).sum(0)
+                seg(ce(step_icls_logits, plan['ilab']) * has_cls)
+            assm_ps = seg((lse - s) * has_assm)
             per_sample = topo_ps + cls_ps + icls_ps + assm_ps
             return loss, metrics, per_sample
         return loss, metrics
@@ -381,12 +400,17 @@ class MotifDecoder(nn.Module):
             self.W_node(jnp.zeros((1, self.embed_size + self.hidden_size)))
             self.clsNN(jnp.zeros((1, self.hidden_size + self.latent_size)), True)
 
-        T = plan['xid'].shape[0]
-        coins = jax.random.uniform(sched_rng, (T, batch_size)) > tf_ratio
+        T, lanes = plan['xid'].shape
+        coins = jax.random.uniform(sched_rng, (T, lanes)) > tf_ratio
+        # lane-packed plans: slot → molecule map for the per-step latent ctx
+        mol_lane = plan.get('mol_lane')
+        lane_mol = mol_lane if mol_lane is not None else \
+            jnp.broadcast_to(jnp.arange(batch_size, dtype=jnp.int32)[None],
+                             (T, lanes))
 
         def step(carry, inputs):
             state, emb_buf = carry
-            rows, x_nodes, coin, has_cls = inputs
+            rows, x_nodes, coin, has_cls, mol_t = inputs
             valid = (rows > 0)
             src = fmess[rows, 0]
             dst = fmess[rows, 1]
@@ -408,7 +432,7 @@ class MotifDecoder(nn.Module):
             cls_h = h[rows]
             # model's own motif prediction for the expanded node
             cls_logits = self.clsNN(
-                jnp.concatenate([cls_h, root_vecs], axis=-1), True)
+                jnp.concatenate([cls_h, root_vecs[mol_t]], axis=-1), True)
             pred = jnp.argmax(cls_logits, axis=-1)
             use_pred = coin & has_cls & valid
             pred_emb = self._ec()(pred)
@@ -417,7 +441,7 @@ class MotifDecoder(nn.Module):
             emb_buf = emb_buf.at[0].set(hnode_emb[0])
             return (state, emb_buf), (node_h, cls_h)
 
-        xs = (plan['mess'], plan['xid'], coins, plan['has_cls'])
+        xs = (plan['mess'], plan['xid'], coins, plan['has_cls'], lane_mol)
         (_, _), (topo_vecs, cls_vecs) = jax.lax.scan(
             step, (state, hnode_emb), xs)
         return self._losses(plan, root_vecs, init_vecs, vocab_mask,

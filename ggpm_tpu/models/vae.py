@@ -86,6 +86,7 @@ class PropertyVAE(nn.Module):
     """Motif-level VAE without property heads (reference
     property_vae.py:64-127; registry name ``prop``)."""
     cfg: ModelConfig
+    is_hier = False  # family marker (Trainer lane-packs motif-family plans)
 
     def setup(self):
         c = self.cfg
@@ -178,6 +179,7 @@ class PropOptVAE(nn.Module):
     """Motif VAE + HOMO/LUMO property heads on the split latent
     (reference property_vae.py:257-394; registry name ``prop-opt``)."""
     cfg: ModelConfig
+    is_hier = False
 
     def setup(self):
         c = self.cfg
@@ -251,6 +253,7 @@ class HierPropertyVAE(nn.Module):
     currently shares the motif-level scan path (atom-level teacher forcing is
     layered on in the hier decode plan)."""
     cfg: ModelConfig
+    is_hier = True  # hier scan reads gstep_*/assm_cand* — plans stay unpacked
 
     def setup(self):
         c = self.cfg
@@ -330,6 +333,7 @@ class HierPropOptVAE(nn.Module):
     the hier fine-tune total (dead code at property_vae.py:232-241) — KL is
     reported in metrics but not added to the loss."""
     cfg: ModelConfig
+    is_hier = True
 
     def setup(self):
         c = self.cfg
@@ -401,6 +405,7 @@ class PropOptSchedulingVAE(nn.Module):
     scheduling decoder implementation is broken — this is the repaired
     intent (see MotifDecoder.scheduled_forward)."""
     cfg: ModelConfig
+    is_hier = False
 
     def setup(self):
         c = self.cfg

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.batching import to_model_batch
+from ..data.batching import compact_plan_dict, to_model_batch
 from . import checkpoint as ckpt
 
 
@@ -215,12 +215,18 @@ class Trainer:
                  save_dir: Optional[str] = None, save_iter: int = -1,
                  clip_break_count: int = 5, seed: int = 1,
                  beta_warmup_steps: int = 0, mesh=None,
-                 tp_min_dim: int = 256):
+                 tp_min_dim: int = 256,
+                 compact_plans: Optional[bool] = None):
         """``mesh``: a 1-D ``jax.sharding.Mesh`` over a ``data`` axis turns
         the Trainer data-parallel — each optimizer step consumes D
         same-shape batches sharded across the mesh with a gradient psum
         (ggpm_tpu.parallel.mesh.make_dp_train_step); params replicated.
-        Build one with ``ggpm_tpu.parallel.mesh.make_mesh(n)``."""
+        Build one with ``ggpm_tpu.parallel.mesh.make_mesh(n)``.
+
+        ``compact_plans``: lane-pack decode plans before upload
+        (batching.compact_plan_dict — same loss, ~2.5× fewer decoder-scan
+        slots at large batch).  Default: on for the motif family, off for
+        the hierarchical family (whose scan is not lane-agnostic)."""
         self.model = model
         self.optimizer = optimizer
         self.vocab_mask = np.asarray(vocab_mask)
@@ -241,6 +247,9 @@ class Trainer:
             self.n_shards = int(mesh.shape['data'])
         else:
             self.n_shards = int(np.prod(mesh.devices.shape))
+        if compact_plans is None:
+            compact_plans = not getattr(model, 'is_hier', True)
+        self.compact_plans = bool(compact_plans)
         self.step_fn = make_train_step(model, optimizer, beta,
                                        beta_warmup_steps=beta_warmup_steps)
         self.eval_fn = make_eval_step(model, beta)
@@ -330,6 +339,12 @@ class Trainer:
     def _device_batch(self, mb) -> Dict:
         if not isinstance(mb, dict):
             mb = to_model_batch(mb, self.vocab_mask, pad=False)
+        if self.compact_plans and 'mol_lane' not in mb['plan']:
+            # lane-pack the decode plan on host before upload (numerically
+            # identical loss with ~2.5× fewer decoder-scan slots at large
+            # batch; see batching.compact_plan_dict)
+            mb = dict(mb, plan=compact_plan_dict(
+                {k: np.asarray(v) for k, v in mb['plan'].items()}))
         if self.mesh is not None:
             # data-parallel path: keep batches host-side; dp_step stacks D
             # of them and device_puts the stack with the mesh sharding
