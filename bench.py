@@ -187,19 +187,25 @@ def main():
                                         jax.random.PRNGKey(0), 0.1)
         dec_params = ckpt_mod.load_params(dec_params, ckpt_path)
         _progress('loaded trained HOPV checkpoint for decode bench')
+    # steady state: 4 pipelined chunks of dec_b — chunk k+1's propose scan
+    # runs on device while the host replays chunk k's trace, the regime a
+    # quality run (hundreds of molecules) actually sees
+    dec_total = 4 * dec_b
     z = np.random.default_rng(7).standard_normal(
-        (dec_b, 24 if os.path.exists(ckpt_path) else cfg.latent_size)
+        (dec_total, 24 if os.path.exists(ckpt_path) else cfg.latent_size)
     ).astype(np.float32)
     _progress('decode warmup / compile')
-    decode_best(dec_model, dec_params, dec_vocab, common_atom_vocab, z,
-                greedy=True, max_decode_step=dec_steps, log_steps=False)
+    decode_best(dec_model, dec_params, dec_vocab, common_atom_vocab,
+                z[:dec_b], greedy=True, max_decode_step=dec_steps,
+                log_steps=False)
     _progress('timed decode')
     t0 = time.time()
     _, smiles = decode_best(dec_model, dec_params, dec_vocab,
                             common_atom_vocab, z, greedy=True,
-                            max_decode_step=dec_steps, log_steps=False)
+                            max_decode_step=dec_steps, log_steps=False,
+                            chunk=dec_b)
     dec_elapsed = time.time() - t0
-    decode_mols_per_sec = dec_b / dec_elapsed
+    decode_mols_per_sec = dec_total / dec_elapsed
 
     out = {
         'metric': 'train_mols_per_sec',
@@ -223,8 +229,10 @@ def main():
     print(json.dumps({
         **out,
         'decode_mols_per_sec': round(decode_mols_per_sec, 2),
+        'decode_batch': dec_b,
+        'decode_total': dec_total,
         'decode_valid_frac': round(
-            sum(s is not None for s in smiles) / dec_b, 3),
+            sum(s is not None for s in smiles) / dec_total, 3),
         'baseline_note': 'reference publishes no throughput; 60 mols/sec '
                          'is a documented ESTIMATE of the PyTorch '
                          'reference on one modern GPU (see module '

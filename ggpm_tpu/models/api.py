@@ -111,17 +111,26 @@ def reconstruct_enum_roots(model, params, smiles_list, vocab: PairVocab,
              else np.zeros((0, model.cfg.latent_size), np.float32))
 
     decoded: list = []
-    for i in range(0, len(z_all), decode_batch):
-        zb = z_all[i:i + decode_batch]
-        n = zb.shape[0]
-        if n < decode_batch and len(z_all) > decode_batch:
-            # pad the straggler batch by repetition: keeps ONE compiled
-            # decode shape for the whole evaluation
-            zb = np.concatenate([zb, np.repeat(zb[-1:], decode_batch - n, 0)])
-        _, sm = decode_best(model, params, vocab, avocab, zb, greedy=True,
+    if _is_hier(model):
+        # hier turbo has no pipelined-chunk path yet: decode in fixed-size
+        # batches, padding the straggler to keep ONE compiled shape
+        for i in range(0, len(z_all), decode_batch):
+            zb = z_all[i:i + decode_batch]
+            n = zb.shape[0]
+            if n < decode_batch and len(z_all) > decode_batch:
+                zb = np.concatenate([zb,
+                                     np.repeat(zb[-1:], decode_batch - n, 0)])
+            _, sm = decode_best(model, params, vocab, avocab, zb, greedy=True,
+                                max_decode_step=max_decode_step,
+                                log_steps=False, **kwargs)
+            decoded += list(sm[:n])
+    elif len(z_all):
+        # one pipelined call: chunk k+1's propose scan runs on device while
+        # the host replays chunk k (decode_motif_turbo's chunk path)
+        _, sm = decode_best(model, params, vocab, avocab, z_all, greedy=True,
                             max_decode_step=max_decode_step,
-                            log_steps=False, **kwargs)
-        decoded += list(sm[:n])
+                            log_steps=False, chunk=decode_batch, **kwargs)
+        decoded = list(sm)
 
     by_src: dict = {}
     for v_idx, s_idx in enumerate(src):

@@ -15,6 +15,7 @@ reference's stable-sort enumeration order — no device round-trip needed.
 
 from __future__ import annotations
 
+from collections import deque
 from typing import List, Optional
 
 import jax
@@ -25,19 +26,35 @@ from ..graph.vocab import PairVocab, Vocab
 from .inc_graph import IncGraph, IncTree
 
 
+def _topk_small(x: jnp.ndarray, k: int):
+    """Top-k by k unrolled argmax passes — same values/indices as
+    ``lax.top_k`` (ties break to the lowest index in both).  ``lax.top_k``
+    lowers to a full sort on TPU, which dominates the decode scan's step
+    cost for the beam-sized k used here (measured: 2.2× faster at k=5,
+    bit-identical results)."""
+    ar = jnp.arange(x.shape[-1])
+    vals, idxs = [], []
+    for _ in range(k):
+        i = jnp.argmax(x, axis=-1)
+        vals.append(jnp.take_along_axis(x, i[..., None], axis=-1)[..., 0])
+        idxs.append(i)
+        x = jnp.where(ar == i[..., None], -jnp.inf, x)
+    return jnp.stack(vals, -1), jnp.stack(idxs, -1)
+
+
 def hier_topk(cls_scores: jnp.ndarray, icls_scores: jnp.ndarray,
               mask: jnp.ndarray, beam: int):
     """Joint coarse×fine top-k (reference nnutils.py:131-153), fully on
     device."""
     cls_lsm = jax.nn.log_softmax(cls_scores, axis=-1)
-    top_scores, top_cls = jax.lax.top_k(cls_lsm, beam)          # [B, K]
+    top_scores, top_cls = _topk_small(cls_lsm, beam)            # [B, K]
     m = mask[top_cls]                                           # [B, K, iv]
     icls_lsm = jax.nn.log_softmax(icls_scores[:, None, :] + m, axis=-1)
-    iscores, itop = jax.lax.top_k(icls_lsm, beam)               # [B, K, K]
+    iscores, itop = _topk_small(icls_lsm, beam)                 # [B, K, K]
     total = top_scores[..., None] + iscores                     # [B, K, K]
     b = cls_scores.shape[0]
     flat = total.reshape(b, beam * beam)
-    fscores, fidx = jax.lax.top_k(flat, beam)                   # [B, K]
+    fscores, fidx = _topk_small(flat, beam)                     # [B, K]
     cls_k = jnp.take_along_axis(top_cls, fidx // beam, axis=-1)
     icls_k = jnp.take_along_axis(itop.reshape(b, beam * beam), fidx, axis=-1)
     return fscores, cls_k, icls_k
@@ -935,7 +952,8 @@ def decode_motif_turbo(model, params, vocab: PairVocab, avocab: Vocab,
                        max_nodes: int = 400, max_edges: int = 500,
                        rng: Optional[np.random.Generator] = None,
                        log_steps: bool = False, max_rounds: int = 16,
-                       ladder: tuple = (64,)):
+                       ladder: Optional[tuple] = None,
+                       chunk: Optional[int] = None):
     """Device-resident speculative decode (motif family).
 
     ONE device call runs the whole autoregressive loop as a ``lax.scan``
@@ -956,7 +974,17 @@ def decode_motif_turbo(model, params, vocab: PairVocab, avocab: Vocab,
     proposes at the first rung; samples whose stack is still alive when a
     short trace runs out re-enter at a longer rung with the executed
     prefix pinned — identical results, ~T_rung/T of the scan cost for the
-    common case.
+    common case.  ``None`` picks a per-backend default: ``(64,)`` on CPU,
+    where scan cost is linear in T, and ``()`` on TPU, where the scan is
+    latency-bound (measured: T=150 costs about the same as T=64, so an
+    extra rung is a pure extra device call).
+
+    ``chunk``: decode in pipelined chunks of this many samples.  All
+    chunks' round-0 propose scans are dispatched before the first fetch
+    (JAX dispatch is async), so the device works through chunk k+1 while
+    the host replays chunk k's trace with real chemistry — host replay
+    time is hidden behind device time for all but the last chunk.
+    ``None`` = one chunk (the whole batch).
 
     Returns (results, smiles) like ``decode_motif``; per-step logs are only
     produced for fallback samples (``log_steps`` applies there)."""
@@ -971,33 +999,44 @@ def decode_motif_turbo(model, params, vocab: PairVocab, avocab: Vocab,
     T = max_decode_step
     kern = _get_kernel(MotifDecodeKernel, model, params, vocab.mask, beam)
     tabs = _assm_tables(vocab, avocab)
+    if ladder is None:
+        ladder = (64,) if jax.default_backend() == 'cpu' else ()
 
     states = [_ReplayState(vocab, avocab, max_nodes, max_edges, 12)
               for _ in range(batch_size)]
     smiles_out: List[Optional[str]] = [None] * batch_size
     results: List[list] = [[] for _ in range(batch_size)]
-    pending = list(range(batch_size))
     TURBO_STATS.update(rounds=0, batch=batch_size, fallbacks=0,
                        pending_per_round=[], rungs=[])
     rungs = sorted({min(r, T) for r in ladder} | {T})
 
-    for rnd in range(max_rounds):
-        TURBO_STATS['rounds'] = rnd + 1
-        TURBO_STATS['pending_per_round'].append(len(pending))
+    if chunk is None or chunk >= batch_size:
+        chunk = batch_size
+    chunk_pending = [list(range(i, min(i + chunk, batch_size)))
+                     for i in range(0, batch_size, chunk)]
+    # a short last chunk is padded up to the shared chunk width inside
+    # dispatch (cols repeat pending[0]) so the whole call compiles ONE
+    # round-0 scan shape
+    chunks = [{'pending': p, 'rnd': 0, 'size': chunk} for p in chunk_pending]
+
+    def dispatch(ch):
+        """Queue one propose round for a chunk on the device (async — no
+        fetch happens here)."""
+        pending, rnd = ch['pending'], ch['rnd']
         # scan length for this round: the smallest rung every pending
         # sample's pinned prefix fits under (strictly — re-entry must make
         # progress), else the full budget
         max_pins = max((len(states[b].pins) for b in pending), default=0)
         T_r = next((r for r in rungs if r > max_pins), T)
-        final = T_r == T
+        ch['final'] = T_r == T
         TURBO_STATS['rungs'].append(T_r)
         # compact: later rounds run the propose scan only over still-pending
-        # samples.  Per rung, exactly TWO column shapes ever compile (full
-        # batch and a 16-wide straggler shape) — the scan is
-        # column-independent, and each extra shape costs a full scan
-        # compile on the TPU
+        # samples.  Per rung, at most THREE column shapes ever compile (the
+        # chunk width, a short last-chunk width, and a 16-wide straggler
+        # shape) — the scan is column-independent, and each extra shape
+        # costs a full scan compile on the TPU
         n_p = len(pending)
-        nb = 16 if (rnd and n_p <= 16 and batch_size > 16) else batch_size
+        nb = 16 if (rnd and n_p <= 16 and ch['size'] > 16) else ch['size']
         cols = pending + [pending[0]] * (nb - n_p)
         rv_r = jnp.asarray(root_vecs[np.asarray(cols)])
         u_r = jnp.full((T_r, nb), 0.5, dtype=jnp.float32)
@@ -1009,39 +1048,62 @@ def decode_motif_turbo(model, params, vocab: PairVocab, avocab: Vocab,
                 pin_op[t, j] = op
                 pin_clab[t, j] = clab
                 pin_ilab[t, j] = ilab
-
-        packed, root_cls, root_icls = kern.propose(
+        ch['out'] = kern.propose(
             rv_r, u_r, jnp.asarray(pin_op), jnp.asarray(pin_clab),
             jnp.asarray(pin_ilab), tabs)
-        packed = np.asarray(packed)      # ONE host round-trip per round
+        for o in ch['out']:
+            # start the device→host copy as soon as the scan finishes, so
+            # the trace transfer overlaps the host's replay of earlier
+            # chunks instead of serialising at np.asarray
+            if hasattr(o, 'copy_to_host_async'):
+                o.copy_to_host_async()
+        ch['cols'], ch['n_p'] = cols, n_p
+        ch['rnd'] = rnd + 1
+        TURBO_STATS['rounds'] = max(TURBO_STATS['rounds'], ch['rnd'])
+        TURBO_STATS['pending_per_round'].append(n_p)
+
+    inflight = deque()
+    for ch in chunks:                 # round-0 for every chunk, then fetch —
+        dispatch(ch)                  # the device queue stays full while the
+        inflight.append(ch)           # host replays earlier chunks
+    exhausted: List[int] = []
+    while inflight:
+        ch = inflight.popleft()
+        packed, root_cls, root_icls = ch['out']
+        ch['out'] = None
+        packed = np.asarray(packed)   # ONE host round-trip per round
         root_cls = np.asarray(root_cls)
         root_icls = np.asarray(root_icls)
-
         still = []
-        for j, b in enumerate(cols[:n_p]):
+        for j, b in enumerate(ch['cols'][:ch['n_p']]):
             status, out = _replay_pinned(
                 packed[:, j, :], root_cls[j], root_icls[j], states[b],
-                vocab, beam, final=final)
+                vocab, beam, final=ch['final'])
             if status == 'done':
                 smiles_out[b] = out
             else:         # 'diverge'/'continue': pins grew inside rs
                 still.append(b)
-        pending = still
-        if not pending:
-            break
+        ch['pending'] = still
+        if not still:
+            continue
+        if ch['rnd'] >= max_rounds:
+            exhausted += still
+        else:
+            dispatch(ch)
+            inflight.append(ch)
 
-    TURBO_STATS['fallbacks'] = len(pending)
-    if pending:
+    TURBO_STATS['fallbacks'] = len(exhausted)
+    if exhausted:
         # round cap hit: the stragglers have deep divergence chains, where
         # the exact batched path is cheaper (T per-step calls shared by all
         # stragglers vs one full scan PER divergence here)
         res2, sm2 = decode_motif(model, params, vocab, avocab,
-                                 root_vecs[np.asarray(pending)],
+                                 root_vecs[np.asarray(exhausted)],
                                  greedy=True, max_decode_step=max_decode_step,
                                  beam=beam, max_nodes=max_nodes,
                                  max_edges=max_edges, rng=rng,
                                  log_steps=log_steps)
-        for j, b in enumerate(pending):
+        for j, b in enumerate(exhausted):
             smiles_out[b] = sm2[j]
             results[b] = res2[j]
     return results, smiles_out
@@ -1307,8 +1369,10 @@ def decode_best(model, params, vocab: PairVocab, avocab: Vocab,
     """Fastest semantics-preserving decode for the model family: the
     device-resident turbo paths for greedy decoding without per-step
     logs (per-step logs require the host-interleaved loops), the exact
-    paths otherwise."""
+    paths otherwise.  ``chunk`` (motif turbo only) pipelines large
+    batches: see ``decode_motif_turbo``."""
     if type(model).__name__.startswith('Hier'):
+        kwargs.pop('chunk', None)
         if greedy and not log_steps:
             return decode_hier_turbo(model, params, vocab, avocab,
                                      root_vecs, greedy=True, **kwargs)
@@ -1317,6 +1381,7 @@ def decode_best(model, params, vocab: PairVocab, avocab: Vocab,
     if greedy and not log_steps:
         return decode_motif_turbo(model, params, vocab, avocab, root_vecs,
                                   greedy=True, **kwargs)
+    kwargs.pop('chunk', None)
     return decode_motif(model, params, vocab, avocab, root_vecs,
                         greedy=greedy, log_steps=log_steps, **kwargs)
 

@@ -32,6 +32,15 @@ def main():
                          'hier models profile the hier turbo/exact paths')
     ap.add_argument('--mode', default='turbo', choices=['turbo', 'exact'])
     ap.add_argument('--profile', action='store_true')
+    ap.add_argument('--repeat', type=int, default=1,
+                    help='time the decode N times; later repeats are fully '
+                         'warm (no XLA compile), reported per-repeat')
+    ap.add_argument('--chunk', type=int, default=None,
+                    help='pipelined chunk width for the motif turbo path')
+    ap.add_argument('--no-instrument', action='store_true',
+                    help='skip the propose/replay timers: the propose timer '
+                         'forces a fetch inside each call, which serialises '
+                         'the chunk pipeline it is trying to measure')
     args = ap.parse_args()
 
     import jax
@@ -106,7 +115,8 @@ def main():
         out = orig_replay(*a, **k)
         replay_time[0] += time.perf_counter() - t0
         return out
-    setattr(dec_mod, replay_name, timed_replay)
+    if not args.no_instrument:
+        setattr(dec_mod, replay_name, timed_replay)
 
     if is_hier:
         fn = dec_mod.decode_hier_turbo if args.mode == 'turbo' \
@@ -134,23 +144,33 @@ def main():
         propose_time[0] += time.perf_counter() - t0
         prof_rounds.append(time.perf_counter() - t0)
         return out
-    kern.propose = timed_propose
+    if not args.no_instrument:
+        kern.propose = timed_propose
 
-    t0 = time.perf_counter()
-    if args.profile:
-        pr = cProfile.Profile()
-        pr.enable()
-    results, smiles = fn(model, params, vocab, common_atom_vocab, zs,
-                         greedy=True, max_decode_step=150, log_steps=False)
-    if args.profile:
-        pr.disable()
-    wall = time.perf_counter() - t0
-    ok = sum(1 for s in smiles if s)
-    print(f'{args.mode}: {len(zs)} mols in {wall:.1f}s = '
-          f'{len(zs)/wall:.1f} mols/sec ({ok} non-None)', flush=True)
-    print(f'  propose calls: {len(prof_rounds)}, total {propose_time[0]:.1f}s '
-          f'({[round(x,2) for x in prof_rounds[:20]]})', flush=True)
-    print(f'  replay total: {replay_time[0]:.1f}s', flush=True)
+    for rep in range(args.repeat):
+        prof_rounds.clear()
+        replay_time[0] = 0.0
+        propose_time[0] = 0.0
+        t0 = time.perf_counter()
+        if args.profile:
+            pr = cProfile.Profile()
+            pr.enable()
+        kw = {}
+        if args.chunk and not is_hier and args.mode == 'turbo':
+            kw['chunk'] = args.chunk
+        results, smiles = fn(model, params, vocab, common_atom_vocab, zs,
+                             greedy=True, max_decode_step=150,
+                             log_steps=False, **kw)
+        if args.profile:
+            pr.disable()
+        wall = time.perf_counter() - t0
+        ok = sum(1 for s in smiles if s)
+        print(f'{args.mode}[{rep}]: {len(zs)} mols in {wall:.1f}s = '
+              f'{len(zs)/wall:.1f} mols/sec ({ok} non-None)', flush=True)
+        print(f'  propose calls: {len(prof_rounds)}, '
+              f'total {propose_time[0]:.1f}s '
+              f'({[round(x, 2) for x in prof_rounds[:20]]})', flush=True)
+        print(f'  replay total: {replay_time[0]:.1f}s', flush=True)
     if args.profile:
         s = io.StringIO()
         ps = pstats.Stats(pr, stream=s).sort_stats('cumulative')

@@ -230,6 +230,24 @@ def test_turbo_oracle_resolves_in_one_round(tiny_model_setup):
     assert TURBO_STATS['fallbacks'] == 0, TURBO_STATS
 
 
+def test_turbo_chunked_pipeline_matches_exact(tiny_model_setup):
+    """The pipelined chunk path (all chunks' round-0 proposes dispatched
+    before the first fetch, short last chunk padded to the shared width)
+    is result-identical to the unchunked call — on divergence-heavy prior
+    latents so re-entry rounds interleave between chunks."""
+    from ggpm_tpu.models.decode import decode_motif_turbo
+    st = tiny_model_setup
+    rng = np.random.default_rng(3)
+    z = rng.normal(size=(9, st['cfg'].latent_size)).astype(np.float32) * 1.5
+    _, s_whole = decode_motif_turbo(st['model'], st['params'], st['vocab'],
+                                    common_atom_vocab, z, greedy=True,
+                                    max_decode_step=40)
+    _, s_chunk = decode_motif_turbo(st['model'], st['params'], st['vocab'],
+                                    common_atom_vocab, z, greedy=True,
+                                    max_decode_step=40, chunk=4)
+    assert s_chunk == s_whole
+
+
 def test_turbo_ladder_escalation_matches_exact(tiny_model_setup):
     """A deliberately tiny first rung forces the 'continue' path: traces
     run out mid-DFS, every executed step re-enters pinned at the next
