@@ -111,20 +111,7 @@ def reconstruct_enum_roots(model, params, smiles_list, vocab: PairVocab,
              else np.zeros((0, model.cfg.latent_size), np.float32))
 
     decoded: list = []
-    if _is_hier(model):
-        # hier turbo has no pipelined-chunk path yet: decode in fixed-size
-        # batches, padding the straggler to keep ONE compiled shape
-        for i in range(0, len(z_all), decode_batch):
-            zb = z_all[i:i + decode_batch]
-            n = zb.shape[0]
-            if n < decode_batch and len(z_all) > decode_batch:
-                zb = np.concatenate([zb,
-                                     np.repeat(zb[-1:], decode_batch - n, 0)])
-            _, sm = decode_best(model, params, vocab, avocab, zb, greedy=True,
-                                max_decode_step=max_decode_step,
-                                log_steps=False, **kwargs)
-            decoded += list(sm[:n])
-    elif len(z_all):
+    if len(z_all):
         # one pipelined call: chunk k+1's propose scan runs on device while
         # the host replays chunk k (decode_motif_turbo's chunk path)
         _, sm = decode_best(model, params, vocab, avocab, z_all, greedy=True,

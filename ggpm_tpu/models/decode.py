@@ -1272,7 +1272,9 @@ def decode_hier_turbo(model, params, vocab: PairVocab, avocab: Vocab,
                       max_decode_step: int = 150, beam: int = 5,
                       max_nodes: int = 400, max_edges: int = 500,
                       rng: Optional[np.random.Generator] = None,
-                      log_steps: bool = False, ladder: tuple = (64,)):
+                      log_steps: bool = False,
+                      ladder: Optional[tuple] = None,
+                      chunk: Optional[int] = None):
     """Device-resident speculative decode for the HIER family: one
     ``lax.scan`` proposes the whole trajectory (``HierDecoder.
     hdec_propose`` — 3-level message passing, candidate scoring against
@@ -1281,7 +1283,12 @@ def decode_hier_turbo(model, params, vocab: PairVocab, avocab: Vocab,
     chemistry.  Samples whose replay diverges, that graft untrackable
     motifs (``poisoned``), or that outrun a ladder rung re-run — rung
     re-entry recomputes from scratch (the scan is deterministic), and
-    divergent/poisoned samples fall back to ``decode_hier``."""
+    divergent/poisoned samples fall back to ``decode_hier``.
+
+    ``ladder``/``chunk`` as in ``decode_motif_turbo``: ``None`` picks the
+    per-backend ladder default ((64,) on CPU, () on TPU); ``chunk``
+    decodes in pipelined chunks whose round-0 proposes are all dispatched
+    before the first fetch, hiding host replay behind device time."""
     if not greedy or log_steps:
         return decode_hier(model, params, vocab, avocab, root_vecs,
                            greedy=greedy, max_decode_step=max_decode_step,
@@ -1293,35 +1300,55 @@ def decode_hier_turbo(model, params, vocab: PairVocab, avocab: Vocab,
     T = max_decode_step
     kern = _get_kernel(HierDecodeKernel, model, params, vocab.mask, beam)
     tabs = _assm_tables(vocab, avocab)
+    if ladder is None:
+        ladder = (64,) if jax.default_backend() == 'cpu' else ()
     rungs = sorted({min(r, T) for r in ladder} | {T})
 
     smiles_out: List[Optional[str]] = [None] * batch_size
     results: List[list] = [[] for _ in range(batch_size)]
     fallback: List[int] = []
-    pending = list(range(batch_size))
     TURBO_STATS.update(rounds=0, batch=batch_size, fallbacks=0,
                        pending_per_round=[], rungs=[])
 
-    for rnd, T_r in enumerate(rungs):
-        if not pending:
-            break
-        TURBO_STATS['rounds'] = rnd + 1
-        TURBO_STATS['pending_per_round'].append(len(pending))
+    if chunk is None or chunk >= batch_size:
+        chunk = batch_size
+    chunk_pending = [list(range(i, min(i + chunk, batch_size)))
+                     for i in range(0, batch_size, chunk)]
+    chunks = [{'pending': p, 'ri': 0, 'size': chunk} for p in chunk_pending]
+
+    def dispatch(ch):
+        pending, ri = ch['pending'], ch['ri']
+        T_r = rungs[ri]
         TURBO_STATS['rungs'].append(T_r)
+        TURBO_STATS['pending_per_round'].append(len(pending))
+        TURBO_STATS['rounds'] = max(TURBO_STATS['rounds'], ri + 1)
         n_p = len(pending)
-        nb = 16 if (rnd and n_p <= 16 and batch_size > 16) else batch_size
+        nb = 16 if (ri and n_p <= 16 and ch['size'] > 16) else ch['size']
         cols = pending + [pending[0]] * (nb - n_p)
         rv_r = jnp.asarray(root_vecs[np.asarray(cols)])
         u_r = jnp.full((T_r, nb), 0.5, dtype=jnp.float32)
-        packed, root_cls, root_icls, poisoned = kern.propose(rv_r, u_r, tabs)
+        ch['out'] = kern.propose(rv_r, u_r, tabs)
+        for o in ch['out']:
+            if hasattr(o, 'copy_to_host_async'):
+                o.copy_to_host_async()
+        ch['cols'], ch['n_p'], ch['final'] = cols, n_p, T_r == T
+
+    inflight = deque()
+    for ch in chunks:
+        dispatch(ch)
+        inflight.append(ch)
+    while inflight:
+        ch = inflight.popleft()
+        packed, root_cls, root_icls, poisoned = ch['out']
+        ch['out'] = None
         packed = np.asarray(packed)
         root_cls = np.asarray(root_cls)
         root_icls = np.asarray(root_icls)
         poisoned = np.asarray(poisoned)
 
-        final = T_r == T
+        final = ch['final']
         still = []
-        for j, b in enumerate(cols[:n_p]):
+        for j, b in enumerate(ch['cols'][:ch['n_p']]):
             if poisoned[j]:
                 fallback.append(b)
                 continue
@@ -1329,13 +1356,13 @@ def decode_hier_turbo(model, params, vocab: PairVocab, avocab: Vocab,
             if not final:
                 depth = 1
                 done_early = False
-                for tt in range(T_r):
+                for tt in range(packed.shape[0]):
                     if depth <= 0:
                         done_early = True
                         break
-                    ch = packed[tt, j, 1] > 0.5
+                    chs = packed[tt, j, 1] > 0.5
                     jj = int(packed[tt, j, 2 + 3 * beam])
-                    depth += (1 if jj >= 0 else -1) if ch else -1
+                    depth += (1 if jj >= 0 else -1) if chs else -1
                 if not (done_early or depth <= 0):
                     still.append(b)
                     continue
@@ -1346,9 +1373,12 @@ def decode_hier_turbo(model, params, vocab: PairVocab, avocab: Vocab,
                 smiles_out[b] = out
             else:
                 fallback.append(b)
-        pending = still
+        if still:
+            ch['pending'] = still
+            ch['ri'] += 1       # rungs end with T (final=True), so a chunk
+            dispatch(ch)        # with 'still' samples always has a next rung
+            inflight.append(ch)
 
-    fallback += pending
     TURBO_STATS['fallbacks'] = len(fallback)
     if fallback:
         res2, sm2 = decode_hier(model, params, vocab, avocab,
@@ -1369,13 +1399,13 @@ def decode_best(model, params, vocab: PairVocab, avocab: Vocab,
     """Fastest semantics-preserving decode for the model family: the
     device-resident turbo paths for greedy decoding without per-step
     logs (per-step logs require the host-interleaved loops), the exact
-    paths otherwise.  ``chunk`` (motif turbo only) pipelines large
+    paths otherwise.  ``chunk`` (turbo paths only) pipelines large
     batches: see ``decode_motif_turbo``."""
     if type(model).__name__.startswith('Hier'):
-        kwargs.pop('chunk', None)
         if greedy and not log_steps:
             return decode_hier_turbo(model, params, vocab, avocab,
                                      root_vecs, greedy=True, **kwargs)
+        kwargs.pop('chunk', None)
         return decode_hier(model, params, vocab, avocab, root_vecs,
                            greedy=greedy, log_steps=log_steps, **kwargs)
     if greedy and not log_steps:

@@ -314,6 +314,12 @@ def test_hier_turbo_matches_exact(tiny_model_setup):
                                    common_atom_vocab, zp, greedy=True,
                                    max_decode_step=40)
     assert p_turbo == p_exact
+    # pipelined chunk path: identical results with interleaved rung
+    # re-dispatches across chunks
+    _, p_chunk = decode_hier_turbo(model, params, st['vocab'],
+                                   common_atom_vocab, zp, greedy=True,
+                                   max_decode_step=40, chunk=4)
+    assert p_chunk == p_exact
 
 
 def test_hier_propose_budget_poisons(tiny_model_setup):
