@@ -822,13 +822,58 @@ def _assm_tables(vocab: PairVocab, avocab: Vocab):
             except Exception:
                 a_icls[i, k] = 0
 
+    # ---- packed views: ONE gather per index role inside the decode scans.
+    # The propose scan body is op-LAUNCH-bound on TPU (~1.5k primitives per
+    # step); every tabs['x'][idx] is a separate gather primitive, so the
+    # columns each role reads are packed into one wide int32 row:
+    #   cpack  [V, 10]       child-candidate columns (feas_for / c_track):
+    #                        isz fail noop sym ctype0 ctype1 needs0 needs1
+    #                        apbond poison
+    #   ppack  [V, 3+7S]     parent columns: n_at appos0 appos1 | stype(S)
+    #                        | tnxt(S) tprv(S) abnxt(S) abprv(S) nxts(S)
+    #                        prvs(S) — the fwd/rev cluster-ring neighbour
+    #                        slot of s and its type/motif-bond-order are
+    #                        STATIC per icls (they depend only on n_at and
+    #                        the motif), so they are precomputed here
+    #                        instead of re-gathered every scan step
+    #   bpack  [V, 8+5S]     child-birth columns: n_at isz noop apbond
+    #                        needs0 appos0 appos1 nbond | bused(S) bfv(S)
+    #                        newrank(S) is_att(S) av(S)
+    # Unpacked tables stay for the host replay / non-scan callers.
+    cpack = np.stack([isz_t, fail, noop, sym, ctype[:, 0], ctype[:, 1],
+                      needs[:, 0], needs[:, 1], apbond, poison],
+                     axis=1).astype(np.int32)
+    sidx_np = np.arange(S)[None, :]
+    pn_np = n_at[:, None]
+    nxt_np = np.where(sidx_np + 1 >= pn_np, 0, sidx_np + 1).astype(np.int32)
+    prv_np = np.where(sidx_np == 0, np.maximum(pn_np - 1, 0),
+                      sidx_np - 1).astype(np.int32)
+    adj32 = adj.astype(np.int32)
+    ppack = np.concatenate(
+        [np.stack([n_at, appos[:, 0], appos[:, 1]], axis=1), stype,
+         np.take_along_axis(stype, nxt_np, 1),
+         np.take_along_axis(stype, prv_np, 1),
+         np.take_along_axis(adj32, nxt_np[:, :, None], 2)[:, :, 0],
+         np.take_along_axis(adj32, prv_np[:, :, None], 2)[:, :, 0],
+         nxt_np, prv_np], axis=1).astype(np.int32)
+    bpack = np.concatenate(
+        [np.stack([n_at, isz_t, noop, apbond, needs[:, 0], appos[:, 0],
+                   appos[:, 1], nbond], axis=1),
+         bused, bfv, newrank, is_att, av], axis=1).astype(np.int32)
+    # apack [V, 3]: a_icls0 a_icls1 n_anch (hier assembly scoring);
+    # bondpack [V, BMAX, 4]: b_a b_b b_bt b_anch (hier graft bond loop —
+    # gathered ONCE per step instead of 4 gathers per fori_loop iteration)
+    apack = np.concatenate([a_icls, n_anch[:, None]], axis=1).astype(np.int32)
+    bondpack = np.stack([b_a, b_b, b_bt, b_anch.astype(np.int32)],
+                        axis=2).astype(np.int32)
     tabs = {k: jnp.asarray(v) for k, v in dict(
         n_at=n_at, isz=isz_t, fail=fail, noop=noop, sym=sym, stype=stype,
         bused=bused, bfv=bfv, adj=adj.astype(np.int32), appos=appos,
         apbond=apbond, needs=needs, ctype=ctype, newrank=newrank,
         is_att=is_att, av=av, map1=map1, dst_att=dst_att, b_a=b_a, b_b=b_b,
         b_bt=b_bt, b_anch=b_anch, nbond=nbond, a_icls=a_icls, n_anch=n_anch,
-        poison=poison).items()}
+        poison=poison, cpack=cpack, ppack=ppack, bpack=bpack, apack=apack,
+        bondpack=bondpack).items()}
     # evict entries whose vocab has died — keyed by id(), a dead entry's
     # id can be reused by a NEW vocab, and without eviction the multi-MB
     # device tables of every dead vocab stay resident (same leak class as

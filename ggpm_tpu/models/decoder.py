@@ -701,11 +701,23 @@ class MotifDecoder(nn.Module):
             scores, cls_k, icls_k = hier_topk(cls_s, icls_s, vocab_mask, beam)
 
             # ---- assembly oracle: first beam with a feasible attachment --
+            # ONE packed gather for every parent column (the scan body is
+            # op-launch-bound; see decode._assm_tables' pack layout)
             v_il = ilab[ar, v]                                 # [B]
-            p_n = tabs['n_at'][v_il]                           # [B]
-            p_typ = tabs['stype'][v_il]                        # [B, S]
-            p_adj = tabs['adj'][v_il]                          # [B, S, S]
-            p_ap = tabs['appos'][v_il]                         # [B, 2]
+            pp = tabs['ppack'][v_il]                           # [B, 3+7S]
+            p_n = pp[:, 0]                                     # [B]
+            p_typ = pp[:, 3:3 + S]                             # [B, S]
+            p_ap = pp[:, 1:3]                                  # [B, 2]
+            # neighbour slots in cluster-list order (candidates are
+            # consecutive runs of the cluster list, inc_graph.py:316-331);
+            # ring neighbours + their types + motif bond orders are static
+            # per icls and come packed (see decode._assm_tables)
+            t_nxt = pp[:, 3 + S:3 + 2 * S]
+            t_prv = pp[:, 3 + 2 * S:3 + 3 * S]
+            ab_nxt = pp[:, 3 + 3 * S:3 + 4 * S]
+            ab_prv = pp[:, 3 + 4 * S:3 + 5 * S]
+            nxt_s = pp[:, 3 + 5 * S:3 + 6 * S]
+            prv_s = pp[:, 3 + 6 * S:3 + 7 * S]
             p_used = slot_used[ar, v]                          # [B, S]
             p_slot_atom = slot_atom[ar, v]                     # [B, S]
             p_fv = jnp.take_along_axis(atom_fv, p_slot_atom,
@@ -716,21 +728,11 @@ class MotifDecoder(nn.Module):
 
             sidx = jnp.arange(S)
             s_valid = sidx[None, :] < p_n[:, None]             # [B, S]
-            # neighbour slots in cluster-list order (candidates are
-            # consecutive runs of the cluster list, inc_graph.py:316-331)
-            nxt_s = jnp.where(sidx[None, :] + 1 >= p_n[:, None], 0,
-                              sidx[None, :] + 1)               # [B, S]
-            prv_s = jnp.where(sidx[None, :] == 0,
-                              jnp.maximum(p_n[:, None] - 1, 0),
-                              sidx[None, :] - 1)
-            t_nxt = jnp.take_along_axis(p_typ, nxt_s, axis=1)
-            t_prv = jnp.take_along_axis(p_typ, prv_s, axis=1)
-            fv_nxt = jnp.take_along_axis(p_fv, nxt_s, axis=1)
-            fv_prv = jnp.take_along_axis(p_fv, prv_s, axis=1)
-            ab_nxt = jnp.take_along_axis(p_adj, nxt_s[:, :, None],
-                                         axis=2)[:, :, 0]
-            ab_prv = jnp.take_along_axis(p_adj, prv_s[:, :, None],
-                                         axis=2)[:, :, 0]
+            # free valence of each slot's fwd+rev ring neighbour (dynamic —
+            # ONE fused take_along_axis instead of two)
+            fv2 = jnp.take_along_axis(
+                p_fv, jnp.concatenate([nxt_s, prv_s], axis=1), axis=1)
+            fv_nxt, fv_prv = fv2[:, :S], fv2[:, S:]
             ap0, ap1 = p_ap[:, 0:1], p_ap[:, 1:2]
             excl_f = p_as2[:, None] & (
                 ((sidx[None, :] == ap0) & (nxt_s == ap1)) |
@@ -744,15 +746,16 @@ class MotifDecoder(nn.Module):
                 matrix ``c_il`` [B, Kc] against the current parent state.
                 Returns (feas [B,Kc], slotA [B,Kc], slotB [B,Kc],
                 extraA [B,Kc], extraB [B,Kc], committed-is-pair [B,Kc])."""
-                c_isz = tabs['isz'][c_il]
-                c_fail = tabs['fail'][c_il]
-                c_noop = tabs['noop'][c_il]
-                c_sym = tabs['sym'][c_il]
-                c_t0 = tabs['ctype'][c_il][..., 0]
-                c_t1 = tabs['ctype'][c_il][..., 1]
-                c_n0 = tabs['needs'][c_il][..., 0]
-                c_n1 = tabs['needs'][c_il][..., 1]
-                c_apb = tabs['apbond'][c_il]
+                cp = tabs['cpack'][c_il]                       # [B, Kc, 10]
+                c_isz = cp[..., 0]
+                c_fail = cp[..., 1].astype(bool)
+                c_noop = cp[..., 2].astype(bool)
+                c_sym = cp[..., 3].astype(bool)
+                c_t0 = cp[..., 4]
+                c_t1 = cp[..., 5]
+                c_n0 = cp[..., 6]
+                c_n1 = cp[..., 7]
+                c_apb = cp[..., 8]
 
                 # 1-point: any unused, type-matching slot with free valence
                 # (get_assm_cands:316-317 + try_add_mol type/valence test)
@@ -801,16 +804,15 @@ class MotifDecoder(nn.Module):
                 is2 = (c_isz == 2) & (~c_noop) & (~p_noop[:, None])
                 slotA = jnp.where(c_isz == 1, first1,
                                   jnp.where(use_rev, lastr, firstf))
-                slotB = jnp.where(
-                    use_rev,
-                    jnp.take_along_axis(prv_s[:, None, :].repeat(
-                        slotA.shape[1], 1), slotA[..., None], 2)[..., 0],
-                    jnp.take_along_axis(nxt_s[:, None, :].repeat(
-                        slotA.shape[1], 1), slotA[..., None], 2)[..., 0])
-                exA = jnp.where(
-                    use_rev,
-                    jnp.take_along_axis(ex_r, slotA[..., None], 2)[..., 0],
-                    jnp.take_along_axis(ex_f, slotA[..., None], 2)[..., 0])
+                # fwd/rev neighbour + extra selected in one gather each by
+                # offsetting the slot index into a [.., 2S] concatenation
+                sel = slotA + jnp.where(use_rev, 0, S)
+                slotB = jnp.take_along_axis(
+                    jnp.concatenate([prv_s, nxt_s], axis=1)[:, None, :],
+                    sel[..., None], axis=2)[..., 0]
+                exA = jnp.take_along_axis(
+                    jnp.concatenate([ex_r, ex_f], axis=2),
+                    sel[..., None], axis=2)[..., 0]
                 extraA = c_n0 + jnp.where(c_isz == 2, exA, 0)
                 extraB = c_n1 + jnp.where(c_isz == 2, exA, 0)
                 return feas, slotA, slotB, extraA, extraB, is2
@@ -884,7 +886,10 @@ class MotifDecoder(nn.Module):
             exA = c_exA[:, 0]
             exB = c_exB[:, 0]
             is2 = c_is2[:, 0]
-            ni_noop = tabs['noop'][new_ilab]
+            # ONE packed gather for every child-birth column (see
+            # decode._assm_tables' bpack layout)
+            bp = tabs['bpack'][new_ilab]                       # [B, 8+5S]
+            ni_noop = bp[:, 2].astype(bool)
             oracle_on = (~p_noop) & (~ni_noop)
             do_c = commit & c_feas & oracle_on
             do_pair = do_c & is2
@@ -910,15 +915,16 @@ class MotifDecoder(nn.Module):
             # child node: used flags at birth; slot→atom map follows
             # add_mol's numbering (attach endpoints alias the parent's
             # chosen atoms, every other slot gets a fresh sequential id)
-            ch_used = jnp.where(choose[:, None], tabs['bused'][new_ilab],
+            ch_used = jnp.where(choose[:, None],
+                                bp[:, 8:8 + S].astype(bool),
                                 slot_used[ar, nn_i])
             slot_used = slot_used.at[ar, nn_i].set(ch_used)
-            ch_ap = tabs['appos'][new_ilab]                    # [B, 2]
-            isz2c = tabs['isz'][new_ilab] >= 2
-            ch_bfv = tabs['bfv'][new_ilab]                     # [B, S]
+            ch_ap = bp[:, 5:7]                                 # [B, 2]
+            isz2c = bp[:, 1] >= 2
+            ch_bfv = bp[:, 8 + S:8 + 2 * S]                    # [B, S]
             sidxS = jnp.arange(S)[None, :]
             ch_new_atom = jnp.minimum(
-                atom_cnt[:, None] + tabs['newrank'][new_ilab], A - 1)
+                atom_cnt[:, None] + bp[:, 8 + 2 * S:8 + 3 * S], A - 1)
             ch_atom = jnp.where(
                 sidxS == ch_ap[:, 0:1], paA[:, None],
                 jnp.where(isz2c[:, None] & (sidxS == ch_ap[:, 1:2]),
@@ -927,11 +933,12 @@ class MotifDecoder(nn.Module):
                 jnp.where(choose[:, None], ch_atom, slot_atom[ar, nn_i]))
             # birth free valences for the NEW atoms only (attach slots keep
             # the shared atom's already-decremented value)
-            ch_valid = sidxS < tabs['n_at'][new_ilab][:, None]
-            wmask = do_c[:, None] & ch_valid & (~tabs['is_att'][new_ilab])
+            ch_valid = sidxS < bp[:, 0:1]
+            wmask = do_c[:, None] & ch_valid & \
+                (~bp[:, 8 + 3 * S:8 + 4 * S].astype(bool))
             wtgt = jnp.where(wmask, ch_atom, A - 1)
             atom_fv = atom_fv.at[ar[:, None], wtgt].set(ch_bfv)
-            n_new = tabs['n_at'][new_ilab] - 1 - isz2c.astype(jnp.int32)
+            n_new = bp[:, 0] - 1 - isz2c.astype(jnp.int32)
             atom_cnt = atom_cnt + jnp.where(do_c, jnp.maximum(n_new, 0), 0)
             # grafted-onto-existing-bond marker: add_mol records the anchor
             # pair as used when the bond pre-exists (inc_graph.py:195-196).
@@ -939,8 +946,7 @@ class MotifDecoder(nn.Module):
             # `exA == 0` because its exA is the RAW anchor-bond extra
             # valence, while this file's exA is extraA = needs[0] + raw —
             # `extraA == needs[0]` ⇔ raw == 0, same predicate
-            as2_child = do_pair & (tabs['apbond'][new_ilab] > 0) & \
-                (exA == tabs['needs'][new_ilab][:, 0])
+            as2_child = do_pair & (bp[:, 3] > 0) & (exA == bp[:, 4])
             node_as2 = node_as2.at[ar, nn_i].set(
                 jnp.where(choose, as2_child, node_as2[ar, nn_i]))
             node_noop = node_noop.at[ar, nn_i].set(

@@ -542,15 +542,18 @@ class HierDecoder(nn.Module):
         B = do_c.shape[0]
         ar = jnp.arange(B)
         nbond = tabs['nbond'][new_ilab]                       # [B]
+        # hoisted per-child tables: ONE gather each for the whole loop
+        # instead of 4 vocab gathers + 2 dst_att gathers per iteration
+        bonds = tabs['bondpack'][new_ilab]                    # [B, BMAX, 4]
+        d_att = tabs['dst_att'][new_ilab]                     # [B, S]
 
         def bond_step(k, c):
             (a_av, e_av, e_bt, e_nth, e_bg, in_g, in_cnt, out_g, out_dst,
              out_cnt, edge_cnt, clist, ccnt) = c
             on = do_c & (k < nbond)
-            a_s = tabs['b_a'][new_ilab, k]
-            b_s = tabs['b_b'][new_ilab, k]
-            bt = tabs['b_bt'][new_ilab, k]
-            anch = tabs['b_anch'][new_ilab, k] & skip_anchor
+            bk = bonds[:, k]                                  # dynamic_slice
+            a_s, b_s, bt = bk[:, 0], bk[:, 1], bk[:, 2]
+            anch = bk[:, 3].astype(bool) & skip_anchor
             add = on & (~anch)
             u = jnp.take_along_axis(ch_atom_f, a_s[:, None], 1)[:, 0]
             w = jnp.take_along_axis(ch_atom_f, b_s[:, None], 1)[:, 0]
@@ -558,10 +561,8 @@ class HierDecoder(nn.Module):
             e2 = jnp.where(add, 1 + b_of + edge_cnt + 1, 0)
 
             # row content (fmess: src av, bond type, nth-if-dst-attached)
-            d_att_b = jnp.take_along_axis(tabs['dst_att'][new_ilab],
-                                          b_s[:, None], 1)[:, 0]
-            d_att_a = jnp.take_along_axis(tabs['dst_att'][new_ilab],
-                                          a_s[:, None], 1)[:, 0]
+            d_att_b = jnp.take_along_axis(d_att, b_s[:, None], 1)[:, 0]
+            d_att_a = jnp.take_along_axis(d_att, a_s[:, None], 1)[:, 0]
             e_av = e_av.at[e1].set(jnp.where(add, a_av[u], e_av[e1]))
             e_av = e_av.at[e2].set(jnp.where(add, a_av[w], e_av[e2]))
             e_bt = e_bt.at[e1].set(jnp.where(add, bt, e_bt[e1]))
@@ -779,7 +780,10 @@ class HierDecoder(nn.Module):
             graph_s = self._sparse_direct(self.graph_rnn, graph_s, cr_flat,
                                           x_g, e_bg[cr_flat], self.diterG)
             gh = self.graph_rnn.hidden(graph_s)
-            p_n = tabs['n_at'][v_il]
+            # ONE packed gather for every parent column (the scan body is
+            # op-launch-bound; see decode._assm_tables' pack layout)
+            pp = tabs['ppack'][v_il]                           # [B, 3+7S]
+            p_n = pp[:, 0]
             c_valid = sidxS < p_n[:, None]
             catoms_l = slot_atom[ar, v]                        # [B, S] local
             catoms = jnp.where(c_valid & active[:, None],
@@ -839,9 +843,16 @@ class HierDecoder(nn.Module):
             scores, cls_k, icls_k = hier_topk(cls_s, icls_s, vocab_mask, beam)
 
             # ---- (4) candidate enumeration + oracle + scoring -------------
-            p_typ = tabs['stype'][v_il]
-            p_adj = tabs['adj'][v_il]
-            p_ap = tabs['appos'][v_il]
+            p_typ = pp[:, 3:3 + S]                             # [B, S]
+            p_ap = pp[:, 1:3]                                  # [B, 2]
+            # ring neighbours + their types + motif bond orders are static
+            # per icls and come packed (see decode._assm_tables)
+            t_nxt = pp[:, 3 + S:3 + 2 * S]
+            t_prv = pp[:, 3 + 2 * S:3 + 3 * S]
+            ab_nxt = pp[:, 3 + 3 * S:3 + 4 * S]
+            ab_prv = pp[:, 3 + 4 * S:3 + 5 * S]
+            nxt_s = pp[:, 3 + 5 * S:3 + 6 * S]
+            prv_s = pp[:, 3 + 6 * S:3 + 7 * S]
             p_used = slot_used[ar, v]
             p_slot_atom = slot_atom[ar, v]
             p_fv = jnp.take_along_axis(atom_fv, p_slot_atom, axis=1)
@@ -849,17 +860,11 @@ class HierDecoder(nn.Module):
             p_single = p_n <= 1
 
             s_valid = sidxS < p_n[:, None]
-            nxt_s = jnp.where(sidxS + 1 >= p_n[:, None], 0, sidxS + 1)
-            prv_s = jnp.where(sidxS == 0, jnp.maximum(p_n[:, None] - 1, 0),
-                              sidxS - 1)
-            t_nxt = jnp.take_along_axis(p_typ, nxt_s, axis=1)
-            t_prv = jnp.take_along_axis(p_typ, prv_s, axis=1)
-            fv_nxt = jnp.take_along_axis(p_fv, nxt_s, axis=1)
-            fv_prv = jnp.take_along_axis(p_fv, prv_s, axis=1)
-            ab_nxt = jnp.take_along_axis(p_adj, nxt_s[:, :, None],
-                                         axis=2)[:, :, 0]
-            ab_prv = jnp.take_along_axis(p_adj, prv_s[:, :, None],
-                                         axis=2)[:, :, 0]
+            # free valence of each slot's fwd+rev ring neighbour (dynamic —
+            # ONE fused take_along_axis instead of two)
+            fv2 = jnp.take_along_axis(
+                p_fv, jnp.concatenate([nxt_s, prv_s], axis=1), axis=1)
+            fv_nxt, fv_prv = fv2[:, :S], fv2[:, S:]
             ap0, ap1 = p_ap[:, 0:1], p_ap[:, 1:2]
             excl_f = p_as2[:, None] & (
                 ((sidxS == ap0) & (nxt_s == ap1)) |
@@ -869,16 +874,17 @@ class HierDecoder(nn.Module):
                 ((sidxS == ap1) & (prv_s == ap0)))
 
             c_il = icls_k                                      # [B, K]
-            c_isz = tabs['isz'][c_il]
-            c_fail = tabs['fail'][c_il]
-            c_sym = tabs['sym'][c_il]
-            c_t0 = tabs['ctype'][c_il][..., 0]
-            c_t1 = tabs['ctype'][c_il][..., 1]
-            c_n0 = tabs['needs'][c_il][..., 0]
-            c_n1 = tabs['needs'][c_il][..., 1]
-            c_apb = tabs['apbond'][c_il]
-            c_track = (~tabs['poison'][c_il]) & (~tabs['noop'][c_il]) & \
-                (~c_fail)
+            cp = tabs['cpack'][c_il]                           # [B, K, 10]
+            c_isz = cp[..., 0]
+            c_fail = cp[..., 1].astype(bool)
+            c_sym = cp[..., 3].astype(bool)
+            c_t0 = cp[..., 4]
+            c_t1 = cp[..., 5]
+            c_n0 = cp[..., 6]
+            c_n1 = cp[..., 7]
+            c_apb = cp[..., 8]
+            c_track = (~cp[..., 9].astype(bool)) & \
+                (~cp[..., 2].astype(bool)) & (~c_fail)
 
             # membership in get_assm_cands' list (pre-valence), per kind
             elig1 = s_valid[:, None, :] & (~p_used[:, None, :]) & \
@@ -922,9 +928,10 @@ class HierDecoder(nn.Module):
             h_self = hatom[a_self]                             # [B, S, H]
             h_nxt = hatom[a_nxt]
             h_prv = hatom[a_prv]
-            ic_e = self._ei()(tabs['a_icls'][c_il])            # [B, K, 2, E]
+            ap_c = tabs['apack'][c_il]                         # [B, K, 3]
+            ic_e = self._ei()(ap_c[..., :2])                   # [B, K, 2, E]
             nmask = (jnp.arange(2)[None, None, :] <
-                     tabs['n_anch'][c_il][..., None])          # [B, K, 2]
+                     ap_c[..., 2:3])                           # [B, K, 2]
             pos_e = pos_onehot(nth_sc)                         # [B, P]
 
             def pair_score(h0, h1):
@@ -1031,10 +1038,13 @@ class HierDecoder(nn.Module):
             # atom budget clamps onto the shared A-1 slot (silent drift).
             # Poison such samples instead — they fall back to the exact
             # host path, preserving turbo's equivalence guarantee.
+            # ONE packed gather for every child-birth column (see
+            # decode._assm_tables' bpack layout)
+            bp = tabs['bpack'][new_ilab]                       # [B, 8+5S]
+            isz2c = bp[:, 1] >= 2
             n_new_c = jnp.maximum(
-                tabs['n_at'][new_ilab] - 1 -
-                (tabs['isz'][new_ilab] >= 2).astype(jnp.int32), 0)
-            need_e = 2 * tabs['nbond'][new_ilab]
+                bp[:, 0] - 1 - isz2c.astype(jnp.int32), 0)
+            need_e = 2 * bp[:, 7]
             ovf = (edge_cnt + need_e > Eg) | (atom_cnt + n_new_c > A) | \
                   (ccnt[ar, nn_i] + need_e > KE)
             do_c = commit & ct_j & (~poisoned) & (~ovf)
@@ -1052,32 +1062,32 @@ class HierDecoder(nn.Module):
             atom_fv = atom_fv.at[ar, paA].add(jnp.where(do_c, -extraA, 0))
             atom_fv = atom_fv.at[ar, paB].add(jnp.where(do_pair, -extraB, 0))
 
-            ch_used = jnp.where(choose[:, None], tabs['bused'][new_ilab],
+            ch_used = jnp.where(choose[:, None],
+                                bp[:, 8:8 + S].astype(bool),
                                 slot_used[ar, nn_i])
             slot_used = slot_used.at[ar, nn_i].set(ch_used)
-            ch_ap = tabs['appos'][new_ilab]
-            isz2c = tabs['isz'][new_ilab] >= 2
-            ch_bfv = tabs['bfv'][new_ilab]
+            ch_ap = bp[:, 5:7]
+            ch_bfv = bp[:, 8 + S:8 + 2 * S]
             ch_new_atom = jnp.minimum(
-                atom_cnt[:, None] + tabs['newrank'][new_ilab], A - 1)
+                atom_cnt[:, None] + bp[:, 8 + 2 * S:8 + 3 * S], A - 1)
             ch_atom = jnp.where(
                 sidxS == ch_ap[:, 0:1], paA[:, None],
                 jnp.where(isz2c[:, None] & (sidxS == ch_ap[:, 1:2]),
                           paB[:, None], ch_new_atom))
             slot_atom = slot_atom.at[ar, nn_i].set(
                 jnp.where(choose[:, None], ch_atom, slot_atom[ar, nn_i]))
-            ch_valid = sidxS < tabs['n_at'][new_ilab][:, None]
-            wmask = do_c[:, None] & ch_valid & (~tabs['is_att'][new_ilab])
+            ch_valid = sidxS < bp[:, 0:1]
+            wmask = do_c[:, None] & ch_valid & \
+                (~bp[:, 8 + 3 * S:8 + 4 * S].astype(bool))
             wtgt = jnp.where(wmask, ch_atom, A - 1)
             atom_fv = atom_fv.at[ar[:, None], wtgt].set(ch_bfv)
-            n_new = tabs['n_at'][new_ilab] - 1 - isz2c.astype(jnp.int32)
-            atom_cnt = atom_cnt + jnp.where(do_c, jnp.maximum(n_new, 0), 0)
+            atom_cnt = atom_cnt + jnp.where(do_c, n_new_c, 0)
             # grafted onto an EXISTING parent bond ⇔ no extra anchor-bond
             # valence was needed (ex == 0; inc_graph.py:195-196).
             # NOTE twin in decoder.dec_propose: there the predicate reads
             # `exA == needs[0]` because its exA is extraA = needs[0] + raw;
             # this file's exA is the raw extra — same predicate
-            as2_child = do_pair & (tabs['apbond'][new_ilab] > 0) & (exA == 0)
+            as2_child = do_pair & (bp[:, 3] > 0) & (exA == 0)
             node_as2 = node_as2.at[ar, nn_i].set(
                 jnp.where(choose, as2_child, node_as2[ar, nn_i]))
 
@@ -1088,11 +1098,13 @@ class HierDecoder(nn.Module):
                                   1 + b_of_a[:, None] + ch_atom, 0)
             av_tgt = jnp.where(wmask, ch_atom_f, 0)
             a_av = a_av.at[av_tgt].set(
-                jnp.where(wmask, tabs['av'][new_ilab], a_av[av_tgt])
+                jnp.where(wmask, bp[:, 8 + 4 * S:8 + 5 * S], a_av[av_tgt])
             ).at[0].set(0)
+            # adj[slotA, slotB]: slotB is slotA's ring prv (kind 2) or nxt,
+            # whose motif bond order is exactly ab_prv/ab_nxt at slotA
             pbond = jnp.take_along_axis(
-                jnp.take_along_axis(p_adj, slotA[:, None, None], 1)[:, 0],
-                slotB[:, None], 1)[:, 0]                       # adj[slotA,slotB]
+                jnp.where((kindA == 2)[:, None], ab_prv, ab_nxt),
+                slotA[:, None], 1)[:, 0]
             skip_anchor = do_pair & (pbond > 0)
             nth_edge = jnp.where(nc_j == 1, 0, in_deg[ar, v])
             carry_g = (a_av, e_av, e_bt, e_nth, e_bg, in_g, in_cnt, out_g,
