@@ -837,35 +837,33 @@ class MotifDecoder(nn.Module):
                                  jnp.where(any_feas, spec_ilab,
                                            icls_k[:, 0].astype(jnp.int32)))
 
-            # expand bookkeeping (masked writes; non-choosing samples write
-            # their just-read value back — a no-op)
+            # expand bookkeeping (masked writes: non-choosing samples
+            # redirect their scatter index out of bounds, which mode='drop'
+            # discards — no read-back gather of the old value needed; nxt
+            # never reaches n_nodes within the T-step budget, so index
+            # n_nodes is a pure mask sentinel)
             nn_i = jnp.minimum(nxt, n_nodes - 1)
-            clab = clab.at[ar, nn_i].set(
-                jnp.where(choose, new_clab, clab[ar, nn_i]))
-            down_row = down_row.at[ar, nn_i].set(
-                jnp.where(choose, row_t, down_row[ar, nn_i]))
-            agraph = agraph.at[ar, nn_i, 0].set(
-                jnp.where(choose, row_t, agraph[ar, nn_i, 0]))
-            in_deg = in_deg.at[ar, nn_i].set(
-                jnp.where(choose, 1, in_deg[ar, nn_i]))
+            i_ch = jnp.where(choose, nn_i, n_nodes)
+            clab = clab.at[ar, i_ch].set(new_clab, mode='drop')
+            down_row = down_row.at[ar, i_ch].set(row_t, mode='drop')
+            agraph = agraph.at[ar, i_ch, 0].set(row_t, mode='drop')
+            in_deg = in_deg.at[ar, i_ch].set(1, mode='drop')
             sp_slot = jnp.minimum(sp, n_nodes - 1)
-            stack = stack.at[ar, sp_slot].set(
-                jnp.where(choose, nn_i, stack[ar, sp_slot]))
+            stack = stack.at[ar, jnp.where(choose, sp_slot, n_nodes)].set(
+                nn_i, mode='drop')
             # backtrack bookkeeping: the closing edge joins top's agraph
             # (host add_edge: agraph[j, in_degree(j)-1] = idx)
             slot = jnp.minimum(in_deg[ar, top], max_nb - 1)
-            agraph = agraph.at[ar, top, slot].set(
-                jnp.where(bt_valid, row_t, agraph[ar, top, slot]))
+            agraph = agraph.at[ar, jnp.where(bt_valid, top, n_nodes),
+                               slot].set(row_t, mode='drop')
             # forced backtrack (op 3): host pops the new node AND its parent,
             # closing edges new→v and v→top (reference decoder.py:1079-1089).
             # Those edges never receive device messages (rows stay zero), so
             # only the in-degrees of v and top advance; agraph slots keep
             # their zero (= padding row) entries.
             close_top = bt_valid | (forced & (sp >= 2))
-            in_deg = in_deg.at[ar, top].set(
-                in_deg[ar, top] + close_top.astype(jnp.int32))
-            in_deg = in_deg.at[ar, v].set(
-                in_deg[ar, v] + forced.astype(jnp.int32))
+            in_deg = in_deg.at[ar, top].add(close_top.astype(jnp.int32))
+            in_deg = in_deg.at[ar, v].add(forced.astype(jnp.int32))
 
             push = choose & (~forced)
             pop = active & (~choose)
@@ -876,8 +874,7 @@ class MotifDecoder(nn.Module):
             # ---- chemistry-state bookkeeping on committed expands -------
             # (host counterpart: try_add_mol's graft + update_attached)
             commit = choose & (~forced)
-            ilab = ilab.at[ar, nn_i].set(
-                jnp.where(choose, new_ilab, ilab[ar, nn_i]))
+            ilab = ilab.at[ar, i_ch].set(new_ilab, mode='drop')
             c_feas, c_slotA, c_slotB, c_exA, c_exB, c_is2 = \
                 feas_for(new_ilab[:, None])
             c_feas = c_feas[:, 0]
