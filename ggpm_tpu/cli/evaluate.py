@@ -16,13 +16,17 @@ def main(argv=None):
     parser.add_argument('--reconstructions', required=True,
                         help='CSV with original/reconstructed columns')
     parser.add_argument('--k', type=int, default=None)
+    parser.add_argument('--fcd-ckpt', default=None,
+                        help='ChemNet checkpoint (eval.chemnet format); '
+                             'enables real FCD')
     args = parser.parse_args(argv)
 
     df = pd.read_csv(args.reconstructions)
     gen = [None if pd.isna(x) else x for x in df['reconstructed']]
     ref = [x for x in df['original'] if isinstance(x, str)]
 
-    metrics = Metrics().get_recon_n_sample_metrics(gen, ref, args.k)
+    metrics = Metrics(fcd_ckpt=args.fcd_ckpt).get_recon_n_sample_metrics(
+        gen, ref, args.k)
     # exact-reconstruction rate
     from ..chem import canon_smiles
     matches = sum(1 for o, d in zip(df['original'], gen)

@@ -74,9 +74,13 @@ class Metrics:
     """Compute the suite over generated vs. reference molecule sets
     (reference ``Metrics.get_recon_n_sample_metrics``)."""
 
-    def __init__(self, radius: int = 2, n_bits: int = 2048):
+    def __init__(self, radius: int = 2, n_bits: int = 2048,
+                 fcd_ckpt: Optional[str] = None):
+        """``fcd_ckpt``: path to a ChemNet checkpoint (eval.chemnet format);
+        when supplied the suite reports a real FCD instead of None."""
         self.radius = radius
         self.n_bits = n_bits
+        self.fcd_ckpt = fcd_ckpt
 
     def _prep(self, smiles_list: Sequence[Optional[str]]):
         mols, canon = [], []
@@ -202,9 +206,19 @@ class Metrics:
         d2 = float(((mu1 - mu2) ** 2).sum() + np.trace(s1 + s2 - 2 * covmean))
         return max(d2, 0.0)
 
+    def fcd(self, gen: Sequence[Optional[str]],
+            ref: Sequence[str]) -> Optional[float]:
+        """Real FCD when a ChemNet checkpoint was supplied, else None
+        (reference metrics.py:244-247 via moses; see eval.chemnet)."""
+        if not self.fcd_ckpt:
+            return None
+        from .chemnet import compute_fcd
+        return compute_fcd(gen, ref, self.fcd_ckpt)
+
     def get_recon_n_sample_metrics(self, gen: Sequence[Optional[str]],
                                    ref: Sequence[str],
                                    k: Optional[int] = None) -> Dict[str, Optional[float]]:
+        fcd_val = self.fcd(gen, ref)
         return {
             'validity': self.validity(gen),
             f'unique@{k or len(gen)}': self.uniqueness(gen, k),
@@ -213,10 +227,12 @@ class Metrics:
             'Frag': self.frag_similarity(gen, ref),
             'MW': self.mw_stat(gen, ref),
             'SA': self.sa_stat(gen, ref),
-            'FCD': None,
-            'FCD_note': 'requires the pretrained ChemNet checkpoint '
-                        '(unavailable offline); FP-Frechet is the '
-                        'Morgan-count Fréchet stand-in',
+            'FCD': fcd_val,
+            'FCD_note': ('computed with the supplied ChemNet checkpoint'
+                         if fcd_val is not None else
+                         'requires the pretrained ChemNet checkpoint '
+                         '(unavailable offline); FP-Frechet is the '
+                         'Morgan-count Fréchet stand-in'),
             'FP-Frechet': self.fp_frechet(gen, ref),
         }
 
