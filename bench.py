@@ -75,7 +75,7 @@ def main():
     from ggpm_tpu.train.loop import Trainer
     from ggpm_tpu.train.optim import make_optimizer
 
-    data_path = '/root/reference/data/hopv15/hopv15.csv'
+    data_path = 'data/hopv15.csv'
     if not os.path.exists(data_path):
         data_path = os.path.join(os.path.dirname(__file__),
                                  'data/hopv15.csv')

@@ -15,7 +15,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--data', default='/root/reference/data/chem_data/train.csv')
+    ap.add_argument('--data', default='data/chem_data/train.csv')
     ap.add_argument('--epochs', type=int, default=60)
     args = ap.parse_args()
 

@@ -103,7 +103,7 @@ def count_gather_bytes(jaxpr) -> float:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--data', default='/root/reference/data/hopv15/hopv15.csv')
+    ap.add_argument('--data', default='data/hopv15.csv')
     ap.add_argument('--seconds', type=float, default=10.0)
     ap.add_argument('--out', default='runs/MFU.json')
     ap.add_argument('--quick', action='store_true',

@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--data', default='/root/reference/data/hopv15/hopv15.csv')
+    ap.add_argument('--data', default='data/hopv15.csv')
     ap.add_argument('--ckpt', required=True)
     ap.add_argument('--vocab', required=True)
     ap.add_argument('--policy', default='hard',

@@ -49,7 +49,7 @@ def jax_first_leaf(tree):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--data', default='/root/reference/data/hopv15/hopv15.csv')
+    ap.add_argument('--data', default='data/hopv15.csv')
     ap.add_argument('--batch', type=int, default=240)
     ap.add_argument('--hidden', type=int, default=250)
     ap.add_argument('--latent', type=int, default=24)

@@ -16,7 +16,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--data', default='/root/reference/data/hopv15/hopv15.csv')
+    ap.add_argument('--data', default='data/hopv15.csv')
     ap.add_argument('--epochs', type=int, default=300)
     ap.add_argument('--ft-epochs', type=int, default=150)
     ap.add_argument('--min-freq', type=int, default=10)

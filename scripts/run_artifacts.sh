@@ -51,32 +51,32 @@ for s in $steps; do
       run mfu 2400 python scripts/mfu_bench.py --seconds 8 ;;
     hopv_test)
       run hopv_test 5400 python scripts/quality_run.py \
-        --data /root/reference/data/hopv15/hopv15.csv --holdout 50 \
+        --data data/hopv15.csv --holdout 50 \
         --out runs/QUALITY_hopv_test.json \
         --dump-recon runs/recon_hopv_test.csv ;;
     curated_test)
       run curated_test 5400 python scripts/quality_run.py \
-        --data /root/reference/data/chem_data/cleaned_data.csv \
+        --data data/chem_data/cleaned_data.csv \
         --holdout 12 --min-freq 2 --hidden 400 --latent 48 \
         --out runs/QUALITY_curated_test.json \
         --dump-recon runs/recon_curated_test.csv ;;
     optimize_curated_soft|optimize_curated_patience|optimize_curated_hard)
       pol=${s##*_}
       run "optimize_curated_${pol}" 3600 python scripts/optimize_run.py \
-        --data /root/reference/data/chem_data/cleaned_data.csv \
+        --data data/chem_data/cleaned_data.csv \
         --vocab runs/QUALITY_curated_r2.json.vocab.txt \
         --ckpt runs/QUALITY_curated_r2.json.ckpt \
         --hidden 400 --latent 48 --policy "$pol" \
         --out "runs/OPTIMIZE_curated_${pol}.json" ;;
     polymers_test)
       run polymers_test 10800 python scripts/quality_run.py \
-        --data /root/reference/data/polymers/valid.txt --limit 5000 \
+        --data data/polymers/valid.txt --limit 5000 \
         --min-freq 40 --epochs 60 --ft-epochs 0 \
-        --eval-data /root/reference/data/polymers/test.txt \
+        --eval-data data/polymers/test.txt \
         --out runs/QUALITY_polymers_test.json ;;
     hier_hopv_test)
       run hier_hopv_test 7200 python scripts/quality_run.py \
-        --data /root/reference/data/hopv15/hopv15.csv --model hier-prop \
+        --data data/hopv15.csv --model hier-prop \
         --holdout 50 --epochs 200 --ft-epochs 0 \
         --out runs/QUALITY_hier_hopv_test.json ;;
     parity)

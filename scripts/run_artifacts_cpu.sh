@@ -39,7 +39,7 @@ for s in $steps; do
   case $s in
     hopv_test)
       run hopv_test 28800 python scripts/quality_run.py \
-        --data /root/reference/data/hopv15/hopv15.csv --holdout 50 \
+        --data data/hopv15.csv --holdout 50 \
         --out runs/QUALITY_hopv_test.json \
         --dump-recon runs/recon_hopv_test.csv ;;
     polymers_test)
@@ -47,9 +47,9 @@ for s in $steps; do
       # -step count as the HOPV protocol at 250 batches/epoch) and a
       # 1000-mol eval slice of the untouched test.txt (enum-root 2)
       run polymers_test 28800 python scripts/quality_run.py \
-        --data /root/reference/data/polymers/valid.txt --limit 5000 \
+        --data data/polymers/valid.txt --limit 5000 \
         --min-freq 40 --epochs 30 --ft-epochs 0 \
-        --eval-data /root/reference/data/polymers/test.txt \
+        --eval-data data/polymers/test.txt \
         --eval-limit 1000 --enum-root 2 \
         --out runs/QUALITY_polymers_test.json ;;
     turbo_motif)
