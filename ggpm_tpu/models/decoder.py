@@ -188,10 +188,35 @@ class MotifDecoder(nn.Module):
                             src_mem=src_mem, return_per_sample=True)
 
     def _run_scan(self, tree, plan, root_vecs, deterministic):
+        """Teacher-forced state recurrence + readouts.
+
+        TPU restructure (round 4; semantics pinned by
+        tests/test_scan_equivalence.py against the reference algorithm,
+        decoder.py:776-899): the scan carries ONLY the message-state
+        buffer — everything else is hoisted out as fat, parallel work:
+
+        * per-slot cell inputs (embedding gathers, position one-hots) and
+          the loop-invariant x-side gate projections are precomputed for
+          all [T, L] slots in one matmul each and fed to the scan as xs;
+        * the per-step body is one state gather + two h-side matmuls +
+          one scatter (the reference's per-step ``sparse_forward``,
+          rnn.py:110-121, restructured by linearity as in models/rnn.py);
+        * the frontier readouts move AFTER the scan: each message row is
+          written exactly once (at its DFS step), so reading the final
+          state under a ``write_step[m] <= t`` visibility mask is exactly
+          the reference's evolving ``emask``-gated gather
+          (decoder.py:567-573) — verified against the naive
+          reimplementation.  The readout over all slots is then a single
+          batched gather + one fat matmul instead of T thin ones.
+
+        ``diterT``: the motif-tree message DAG is acyclic and a step's
+        predecessors never include same-step rows, so re-applying the cell
+        within a step is idempotent — one application reproduces any
+        diterT >= 1 exactly (the canonical config uses diterT=1).
+        """
         fnode, fmess = tree['fnode'], tree['fmess']
         agraph, bgraph = tree['agraph_dec'], tree['bgraph_dec']
         num_mess = fmess.shape[0]
-        batch_size = root_vecs.shape[0]
 
         init_vecs = self.root_vecs_to_hidden(root_vecs)
 
@@ -203,6 +228,8 @@ class MotifDecoder(nn.Module):
             [gather_nd(hnode_emb, fmess[:, 0]), pos_onehot(fmess[:, 2])], axis=-1)
 
         state = self.rnn.init_state(num_mess, init_vecs)
+        n_state = len(state)
+        H = self.hidden_size
 
         if self.is_initializing():
             # materialise scan-internal parameters outside lax.scan
@@ -212,39 +239,51 @@ class MotifDecoder(nn.Module):
             self.W_node(jnp.zeros((1, self.embed_size + self.hidden_size)))
 
         xid, mess = plan['xid'], plan['mess']
-        active = plan['active']
+        T, L = mess.shape
+        valid = mess > 0
 
-        def step(state, inputs):
-            rows, x_nodes, act = inputs
-            valid = (rows > 0)
+        # hoisted per-slot scan inputs (fat, parallel)
+        xp = self.rnn.x_proj(hmess_input)[mess]          # [T, L, kH]
+        bg_rows = bgraph[mess]                           # [T, L, A]
+        ks = self.rnn.k_h()
 
-            def diter_body(_, st):
-                x = hmess_input[rows]
-                # compose the index FIRST: gathering the whole [M, nb, H]
-                # table then selecting ``rows`` made every scan step move
-                # M/B× more HBM than needed (measured: b240 ran slower than
-                # b20 in mols/sec before this)
-                nei = tuple(gather_nd(s, bgraph[rows]) for s in st)
-                new_rows = self.rnn.cell(x, nei)
-                st = tuple(
-                    s.at[rows].set(jnp.where(valid[:, None], nr, s[rows])).at[0].set(0.0)
-                    for s, nr in zip(st, new_rows))
-                return st
+        S0 = state[0] if n_state == 1 else jnp.concatenate(state, axis=-1)
 
-            state = jax.lax.fori_loop(0, self.diterT, diter_body, state)
-            h = self.rnn.hidden(state)
-            # node readout at the frontier (IncMPNEncoder.forward).  Dropout
-            # is applied deterministically inside the scan (per-step RNG
-            # threading is not worth the cost; heads/embeddings keep theirs).
-            nei_msg = nei_sum(h, agraph[x_nodes])
-            node_h = nn.relu(self.W_node(
-                jnp.concatenate([hnode_emb[x_nodes], nei_msg], axis=-1)))
-            cls_h = h[rows]
-            return state, (node_h, cls_h)
+        def step(S, inputs):
+            xp_t, bg_t, rows, val = inputs
+            nei = gather_nd(S, bg_t)                     # [L, A, n·H]
+            nei_t = tuple(nei[..., k * H:(k + 1) * H] for k in range(n_state))
+            new_rows = self.rnn.step(xp_t, nei_t, ks)
+            upd = new_rows[0] if n_state == 1 else \
+                jnp.concatenate(new_rows, axis=-1)
+            # invalid lanes carry rows == 0 and write zeros, so the padding
+            # row stays all-zero without a separate mask-out
+            S = S.at[rows].set(jnp.where(val[:, None], upd, 0.0))
+            return S, None
 
         step_fn = jax.checkpoint(step) if self.remat else step
-        _, (topo_vecs, cls_vecs) = jax.lax.scan(step_fn, state,
-                                                (mess, xid, active))
+        S_final, _ = jax.lax.scan(step_fn, S0, (xp, bg_rows, mess, valid))
+        h_final = S_final[..., :H]
+
+        # write-step table: slot (t, l) wrote row mess[t, l] at step t;
+        # virtual root rows (>= num_mess) are visible from step 0
+        # (reference init_decoder_state, decoder.py:531-552); never-written
+        # rows stay invisible (their state is zero anyway)
+        never = jnp.int32(T + 1)
+        ws = jnp.where(jnp.arange(S0.shape[0]) < num_mess, never,
+                       jnp.int32(-1))
+        tgrid = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[:, None],
+                                 (T, L))
+        ws = ws.at[jnp.where(valid, mess, 0)].set(
+            jnp.where(valid, tgrid, never))
+
+        # batched frontier readouts (IncMPNEncoder.forward equivalent)
+        ag = agraph[xid]                                 # [T, L, A]
+        vis = ws[ag] <= tgrid[..., None]
+        nei_msg = (gather_nd(h_final, ag) * vis[..., None]).sum(axis=-2)
+        topo_vecs = nn.relu(self.W_node(
+            jnp.concatenate([hnode_emb[xid], nei_msg], axis=-1)))
+        cls_vecs = gather_nd(h_final, mess)
         return topo_vecs, cls_vecs, init_vecs
 
     def _losses(self, plan, root_vecs, init_vecs, vocab_mask, topo_vecs,

@@ -58,6 +58,44 @@ class MPNGRUCell(nn.Module):
         pre_h = jnp.tanh(self.W_h(jnp.concatenate([x, sum_gated_h], axis=-1)))
         return ((1.0 - z) * sum_h + z * pre_h,)
 
+    # -- split-step API for the teacher-forced decoder scan -----------------
+    # Same math as ``cell`` by linearity of the Dense layers; the x-side
+    # projections are loop-invariant per message, so the decoder hoists them
+    # out of its scan (see MotifDecoder._run_scan).
+    def x_proj(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Per-message loop-invariant gate terms: xz | xr' | xh_pre
+        ([..., 3H]).  Biases live here (U_r's bias is folded into xr')."""
+        h0 = jnp.zeros(x.shape[:-1] + (self.hidden_size,), dtype=x.dtype)
+        xh0 = jnp.concatenate([x, h0], axis=-1)
+        xr = self.W_r(x) + self.U_r.variables['params']['bias']
+        return jnp.concatenate([self.W_z(xh0), xr, self.W_h(xh0)], axis=-1)
+
+    def k_h(self):
+        """h-side kernels (kz [H,H], kh [H,H], U_r kernel [H,H])."""
+        kz = self.W_z.variables['params']['kernel']
+        kh = self.W_h.variables['params']['kernel']
+        ku = self.U_r.variables['params']['kernel']
+        h = self.hidden_size
+        kz, kh = kz[-h:], kh[-h:]
+        if self.dtype is not None:
+            kz, kh, ku = (k.astype(self.dtype) for k in (kz, kh, ku))
+        return kz, kh, ku
+
+    @staticmethod
+    def step(xp: jnp.ndarray, state_nei, ks):
+        """One cell application from hoisted x terms: xp [R, 3H] from
+        ``x_proj``, state_nei = (h_nei [R, A, H],), ks from ``k_h``."""
+        kz, kh, ku = ks
+        h_nei, = state_nei
+        H = h_nei.shape[-1]
+        xz, xr, xh_pre = xp[..., :H], xp[..., H:2 * H], xp[..., 2 * H:]
+        sum_h = h_nei.sum(axis=-2)
+        z = jax.nn.sigmoid(xz + sum_h @ kz)
+        r = jax.nn.sigmoid(xr[..., None, :] + h_nei @ ku)
+        sum_gated_h = (r * h_nei).sum(axis=-2)
+        pre_h = jnp.tanh(xh_pre + sum_gated_h @ kh)
+        return ((1.0 - z) * sum_h + z * pre_h,)
+
     def __call__(self, fmess: jnp.ndarray, bgraph: jnp.ndarray):
         """Full dense forward: ``depth`` rounds over every message.
 
@@ -139,6 +177,48 @@ class MPNLSTMCell(nn.Module):
         kf = self.W_f.variables['params']['kernel'][x.shape[-1]:]
         if self.dtype is not None:
             kf = kf.astype(self.dtype)
+        f = jax.nn.sigmoid(xf[..., None, :] + h_nei @ kf)
+        c = i * u + (f * c_nei).sum(axis=-2)
+        h = o * jnp.tanh(c)
+        return (h, c)
+
+    # -- split-step API for the teacher-forced decoder scan -----------------
+    # (same math as ``cell``; see MPNGRUCell for the rationale)
+    def x_proj(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Loop-invariant gate terms xi | xo | xu | xf ([..., 4H]),
+        biases included."""
+        h0 = jnp.zeros(x.shape[:-1] + (self.hidden_size,), dtype=x.dtype)
+        xh0 = jnp.concatenate([x, h0], axis=-1)
+        return jnp.concatenate(
+            [self.W_i(xh0), self.W_o(xh0), self.W(xh0), self.W_f(xh0)],
+            axis=-1)
+
+    def k_h(self):
+        """h-side kernels: (K_iou stacked [H, 3H], kf [H, H])."""
+        h = self.hidden_size
+        ki = self.W_i.variables['params']['kernel'][-h:]
+        ko = self.W_o.variables['params']['kernel'][-h:]
+        ku = self.W.variables['params']['kernel'][-h:]
+        kf = self.W_f.variables['params']['kernel'][-h:]
+        if self.dtype is not None:
+            ki, ko, ku, kf = (k.astype(self.dtype)
+                              for k in (ki, ko, ku, kf))
+        return jnp.concatenate([ki, ko, ku], axis=-1), kf
+
+    @staticmethod
+    def step(xp: jnp.ndarray, state_nei, ks):
+        """One cell application from hoisted x terms: xp [R, 4H] from
+        ``x_proj``, state_nei = (h_nei, c_nei) each [R, A, H]."""
+        kiou, kf = ks
+        h_nei, c_nei = state_nei
+        H = h_nei.shape[-1]
+        xi, xo, xu, xf = (xp[..., :H], xp[..., H:2 * H],
+                          xp[..., 2 * H:3 * H], xp[..., 3 * H:])
+        h_sum = h_nei.sum(axis=-2)
+        g = h_sum @ kiou                                    # [R, 3H]
+        i = jax.nn.sigmoid(xi + g[..., :H])
+        o = jax.nn.sigmoid(xo + g[..., H:2 * H])
+        u = jnp.tanh(xu + g[..., 2 * H:])
         f = jax.nn.sigmoid(xf[..., None, :] + h_nei @ kf)
         c = i * u + (f * c_nei).sum(axis=-2)
         h = o * jnp.tanh(c)
