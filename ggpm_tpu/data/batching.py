@@ -17,6 +17,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from ..graph.mol_graph import DecodePlan, LevelTensors, MolGraphBatch
+from ..ops.graph_ops import build_transpose
 
 
 def _round_up(n: int, minimum: int = 32) -> int:
@@ -218,6 +219,13 @@ def compact_plan_dict(plan: Dict[str, np.ndarray], lane_quantum: int = 16,
 def level_to_dict(lv: LevelTensors) -> Dict[str, np.ndarray]:
     d = {'fnode': lv.fnode, 'fmess': lv.fmess, 'agraph': lv.agraph,
          'bgraph': lv.bgraph, 'scope': lv.scope}
+    # host-precomputed bgraph transpose: makes the MPN depth loop's gather
+    # VJPs dense gathers instead of XLA scatter-adds (ops.build_transpose).
+    # Width bound: message m recurs deg(dst(m))-1 times ≤ bgraph's own
+    # neighbour width, so k = bgraph.shape[1] is a static bound and the
+    # table shape tracks the bucket dims (no extra compile signatures).
+    d['bgraph_t'], d['bgraph_tm'] = build_transpose(
+        lv.bgraph, lv.bgraph.shape[0], k=lv.bgraph.shape[1])
     if lv.cgraph is not None:
         d['cgraph'] = lv.cgraph
     if lv.agraph_dec is not None:

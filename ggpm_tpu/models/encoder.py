@@ -38,10 +38,11 @@ class MPNEncoder(nn.Module):
         self.rnn = make_cell(self.rnn_type, self.hidden_size, self.depth,
                              dtype=self.dtype)
 
-    def __call__(self, hnode, hmess, agraph, bgraph, deterministic=True):
+    def __call__(self, hnode, hmess, agraph, bgraph, deterministic=True,
+                 bt=None):
         if self.dtype is not None:
             hmess = hmess.astype(self.dtype)
-        state = self.rnn(hmess, bgraph)
+        state = self.rnn(hmess, bgraph, bt)
         h = self.rnn.hidden(state)
         nei_message = nei_sum(h, agraph)
         node_hiddens = jnp.concatenate(
@@ -51,6 +52,13 @@ class MPNEncoder(nn.Module):
         node_hiddens = node_hiddens.at[0].set(0.0)  # padding node
         return (node_hiddens.astype(jnp.float32),
                 h.astype(jnp.float32))
+
+
+def _bt(level: Dict[str, Any]):
+    """Optional host-precomputed bgraph transpose (see ops.build_transpose);
+    batches from ``level_to_dict`` carry it, hand-built dicts may not."""
+    t = level.get('bgraph_t')
+    return None if t is None else (t, level['bgraph_tm'])
 
 
 def pos_onehot(idx: jnp.ndarray) -> jnp.ndarray:
@@ -103,7 +111,8 @@ class MotifEncoder(nn.Module):
     def __call__(self, tree: Dict[str, Any], deterministic=True):
         hnode_in, hmess_in = self.embed_tree(tree, deterministic)
         node, mess = self.tree_encoder(hnode_in, hmess_in, tree['agraph'],
-                                       tree['bgraph'], deterministic)
+                                       tree['bgraph'], deterministic,
+                                       bt=_bt(tree))
         # root readout (reference encoder.py:317-328)
         roots = tree['scope'][:, 0]
         froot = gather_nd(hnode_in, roots)
@@ -170,7 +179,8 @@ class HierMPNEncoder(nn.Module):
         # atom layer
         hnode_g, hmess_g = self.embed_graph(graph)
         hatom, _ = self.graph_encoder(hnode_g, hmess_g, graph['agraph'],
-                                      graph['bgraph'], deterministic)
+                                      graph['bgraph'], deterministic,
+                                      bt=_bt(graph))
         fnode, fmess = tree['fnode'], tree['fmess']
         # attachment layer (reference embed_inter, encoder.py:96-107)
         finput = self.drop(self._ei()(fnode[:, 1]), deterministic=deterministic)
@@ -181,7 +191,8 @@ class HierMPNEncoder(nn.Module):
         hmess_i = jnp.concatenate(
             [gather_nd(hnode_i, fmess[:, 0]), pos_onehot(fmess[:, 2])], axis=-1)
         hinter, _ = self.inter_encoder(hnode_i, hmess_i, tree['agraph'],
-                                       tree['bgraph'], deterministic)
+                                       tree['bgraph'], deterministic,
+                                       bt=_bt(tree))
         # motif layer (reference embed_tree, encoder.py:109-117)
         cinput = self.drop(self._ec()(fnode[:, 0]), deterministic=deterministic)
         hnode_t = self.drop(
@@ -190,7 +201,8 @@ class HierMPNEncoder(nn.Module):
         hmess_t = jnp.concatenate(
             [gather_nd(hnode_t, fmess[:, 0]), pos_onehot(fmess[:, 2])], axis=-1)
         hnode, hmess = self.tree_encoder(hnode_t, hmess_t, tree['agraph'],
-                                         tree['bgraph'], deterministic)
+                                         tree['bgraph'], deterministic,
+                                         bt=_bt(tree))
         # root readout over the motif layer (reference encoder.py:128-138)
         roots = tree['scope'][:, 0]
         froot = gather_nd(hnode_t, roots)

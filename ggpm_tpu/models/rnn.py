@@ -18,7 +18,24 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops import gather_nd, nei_sum, zero_row0
+from ..ops import gather_nd, gather_nd_t, nei_sum, nei_sum_t, zero_row0
+
+
+def _loop_gathers(bgraph, bt):
+    """(neighbour-sum, row-gather) closures for the depth loop.
+
+    With ``bt`` — a host-precomputed ``(t_idx, t_mask)`` transpose of
+    ``bgraph`` (ops.build_transpose) — both use the transpose-table
+    backward, replacing XLA's scatter-add VJP with a dense gather
+    (runs/PROFILE_bwd.json: the scatter-adds were ~52 of the 89 ms
+    canonical-b240 step).  Gradient-exact at these call sites: see the
+    note in ops/graph_ops.py and the grad-equivalence test
+    (tests/test_models.py::test_transpose_table_grads_exact)."""
+    if bt is None:
+        return (lambda h: nei_sum(h, bgraph)), (lambda v: gather_nd(v, bgraph))
+    t_idx, t_mask = bt
+    return (lambda h: nei_sum_t(h, bgraph, t_idx, t_mask),
+            lambda v: gather_nd_t(v, bgraph, t_idx, t_mask))
 
 
 class MPNGRUCell(nn.Module):
@@ -96,7 +113,7 @@ class MPNGRUCell(nn.Module):
         pre_h = jnp.tanh(xh_pre + sum_gated_h @ kh)
         return ((1.0 - z) * sum_h + z * pre_h,)
 
-    def __call__(self, fmess: jnp.ndarray, bgraph: jnp.ndarray):
+    def __call__(self, fmess: jnp.ndarray, bgraph: jnp.ndarray, bt=None):
         """Full dense forward: ``depth`` rounds over every message.
 
         Hot-loop restructure (same math as ``cell``, by linearity of the
@@ -123,12 +140,14 @@ class MPNGRUCell(nn.Module):
             kz = kz.astype(self.dtype)
             kh = kh.astype(self.dtype)
 
+        ns, gth = _loop_gathers(bgraph, bt)
+
         def body(_, state):
             h, = state
-            sum_h = nei_sum(h, bgraph)
+            sum_h = ns(h)
             z = jax.nn.sigmoid(xz + sum_h @ kz)
-            r = jax.nn.sigmoid(xr + gather_nd(self.U_r(h), bgraph))
-            sum_gated_h = (r * gather_nd(h, bgraph)).sum(axis=-2)
+            r = jax.nn.sigmoid(xr + gth(self.U_r(h)))
+            sum_gated_h = (r * gth(h)).sum(axis=-2)
             pre_h = jnp.tanh(xh_pre + sum_gated_h @ kh)
             return (zero_row0((1.0 - z) * sum_h + z * pre_h),)
 
@@ -224,7 +243,7 @@ class MPNLSTMCell(nn.Module):
         h = o * jnp.tanh(c)
         return (h, c)
 
-    def __call__(self, fmess: jnp.ndarray, bgraph: jnp.ndarray):
+    def __call__(self, fmess: jnp.ndarray, bgraph: jnp.ndarray, bt=None):
         """Full dense forward with the hoisted/projected restructure (same
         math as ``cell`` by linearity — see MPNGRUCell.__call__).  The big
         win is the per-neighbour forget gate: the reference computes
@@ -250,14 +269,16 @@ class MPNLSTMCell(nn.Module):
         if self.dtype is not None:
             ki, ko, ku, kf = (k.astype(self.dtype) for k in (ki, ko, ku, kf))
 
+        ns, gth = _loop_gathers(bgraph, bt)
+
         def body(_, state):
             h, c = state
-            h_sum = nei_sum(h, bgraph)
+            h_sum = ns(h)
             i = jax.nn.sigmoid(xi + h_sum @ ki)
             o = jax.nn.sigmoid(xo + h_sum @ ko)
             u = jnp.tanh(xu + h_sum @ ku)
-            f = jax.nn.sigmoid(xf + gather_nd(h @ kf, bgraph))
-            c_new = i * u + (f * gather_nd(c, bgraph)).sum(axis=-2)
+            f = jax.nn.sigmoid(xf + gth(h @ kf))
+            c_new = i * u + (f * gth(c)).sum(axis=-2)
             h_new = o * jnp.tanh(c_new)
             return (zero_row0(h_new), zero_row0(c_new))
 

@@ -79,10 +79,15 @@ def make_dp_train_step(model, optimizer, mesh: Mesh, beta: float = 0.1,
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, rng):
+        # check_vma=False: the transpose-table gather ops (ops.graph_ops)
+        # are custom_vjp, whose bwd rules defeat shard_map's static
+        # varying-mesh-axes inference for the replicated params cotangent.
+        # The psum the transpose inserts is unaffected — numerics are
+        # pinned by the DP-vs-single-device grad-agreement test.
         sharded = shard_map(
             local_loss, mesh=mesh,
             in_specs=(rep, batch_spec(batch), rep),
-            out_specs=(rep, (rep, rep)))
+            out_specs=(rep, (rep, rep)), check_vma=False)
         (loss, (metrics, aux)), grads = jax.value_and_grad(
             sharded, has_aux=True)(params, batch, rng)
         updates, opt_state = optimizer.update(grads, opt_state, params)

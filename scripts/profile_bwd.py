@@ -30,6 +30,9 @@ def main():
     ap.add_argument('--remat', action='store_true', default=True)
     ap.add_argument('--no-remat', dest='remat', action='store_false')
     ap.add_argument('--out', default='runs/PROFILE_bwd.json')
+    ap.add_argument('--no-tables', action='store_true',
+                    help='strip the bgraph transpose tables (A/B the '
+                         'scatter-add VJP against the transpose-gather VJP)')
     args = ap.parse_args()
 
     import jax
@@ -61,6 +64,10 @@ def main():
     trainer = Trainer(model, opt, vocab.mask, beta=0.1, print_iter=10 ** 9)
     params, opt_state = trainer.init(batch)
     dev = trainer._device_batch(batch)
+    if args.no_tables:
+        for lv in ('tree', 'graph'):
+            dev[lv] = {k: v for k, v in dev[lv].items()
+                       if k not in ('bgraph_t', 'bgraph_tm')}
     rng = jax.random.PRNGKey(0)
 
     def grad_sum(loss_fn):

@@ -210,3 +210,37 @@ def test_mean_forward_matches_sum(batch_and_cfg):
     for k in metrics:
         np.testing.assert_allclose(float(metrics[k]), float(mmetrics[k]),
                                    rtol=1e-5)
+
+
+@pytest.mark.parametrize('rnn_type', ['LSTM', 'GRU'])
+def test_transpose_table_grads_exact(batch_and_cfg, rnn_type):
+    """The transpose-table gather backward (ops.nei_sum_t/gather_nd_t) must
+    match XLA's scatter-add VJP exactly at every call site: dropping the
+    row-0/padding contributions from the table is gradient-exact because
+    those cotangents are dead (see the note in ops/graph_ops.py)."""
+    batch, cfg = batch_and_cfg
+    cfg = ModelConfig(hvocab_size=cfg.hvocab_size, ivocab_size=cfg.ivocab_size,
+                      rnn_type=rnn_type, hidden_size=48, embed_size=48,
+                      latent_size=24, depthT=3, depthG=3, diterT=1)
+    model = PropertyVAE(cfg=cfg)
+    rng = jax.random.PRNGKey(0)
+    params = model.init({'params': rng, 'dropout': rng}, batch, 0.1, rng,
+                        True, True)
+
+    def strip(b):
+        out = dict(b)
+        for lv in ('tree', 'graph'):
+            out[lv] = {k: v for k, v in b[lv].items()
+                       if k not in ('bgraph_t', 'bgraph_tm')}
+        return out
+
+    assert 'bgraph_t' in batch['tree'] and 'bgraph_t' in batch['graph']
+    loss_fn = lambda p, b: model.apply(p, b, 0.1, rng, True, True)[0]
+    lt, gt = jax.value_and_grad(loss_fn)(params, batch)
+    ls, gs = jax.value_and_grad(loss_fn)(params, strip(batch))
+    np.testing.assert_allclose(float(lt), float(ls), rtol=1e-6)
+    for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(gt)[0],
+            jax.tree_util.tree_flatten_with_path(gs)[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                                   atol=1e-6, err_msg=str(kp))
