@@ -240,13 +240,21 @@ class Trainer:
         self.mesh = mesh
         self.tp_min_dim = tp_min_dim
         # batches consumed per parallel step = the DATA extent of the mesh
-        # (a 2-D data × model mesh consumes dp batches, not dp·tp)
+        # (a 2-D data × model mesh consumes dp batches, not dp·tp).  Under
+        # multi-process (multi-host) the mesh is global and each process
+        # feeds only its local slice of the data axis.
         if mesh is None:
             self.n_shards = 1
         elif 'data' in mesh.axis_names:
             self.n_shards = int(mesh.shape['data'])
         else:
             self.n_shards = int(np.prod(mesh.devices.shape))
+        if mesh is not None and jax.process_count() > 1:
+            assert 'model' not in mesh.axis_names, \
+                'multi-process + TP is not supported (1-D data mesh only)'
+            assert self.n_shards % jax.process_count() == 0, \
+                (self.n_shards, jax.process_count())
+            self.n_shards //= jax.process_count()
         if compact_plans is None:
             compact_plans = not getattr(model, 'is_hier', True)
         self.compact_plans = bool(compact_plans)
@@ -301,15 +309,29 @@ class Trainer:
                 from ..parallel.mesh import make_dp_train_step
                 self._dp_fn = make_dp_train_step(self.model, self.optimizer,
                                                  self.mesh, self.beta)
-            self._mask_rep = jax.device_put(
-                self.vocab_mask, NamedSharding(self.mesh, P()))
+            if jax.process_count() > 1:
+                from ..parallel.distributed import replicate_global
+                self._mask_rep = replicate_global(self.vocab_mask, self.mesh)
+            else:
+                self._mask_rep = jax.device_put(
+                    self.vocab_mask, NamedSharding(self.mesh, P()))
             self._placed = False
-        dev_spec = NamedSharding(self.mesh, P('data'))
-        stacked = {
-            k: jax.tree.map(
-                lambda *xs: jax.device_put(np.stack(xs), dev_spec),
-                *[db[k] for db in db_list])
-            for k in db_list[0] if k != 'vocab_mask'}
+        if jax.process_count() > 1:
+            # multi-host: this process holds n_shards of the global
+            # data-axis extent; assemble the global sharded array from the
+            # per-process local stacks (parallel.distributed)
+            from ..parallel.distributed import global_device_batch
+            stacked = global_device_batch(
+                {k: jax.tree.map(lambda *xs: np.stack(xs),
+                                 *[db[k] for db in db_list])
+                 for k in db_list[0] if k != 'vocab_mask'}, self.mesh)
+        else:
+            dev_spec = NamedSharding(self.mesh, P('data'))
+            stacked = {
+                k: jax.tree.map(
+                    lambda *xs: jax.device_put(np.stack(xs), dev_spec),
+                    *[db[k] for db in db_list])
+                for k in db_list[0] if k != 'vocab_mask'}
         stacked['vocab_mask'] = self._mask_rep
         if is_2d and not self._placed:
             params, opt_state, stacked = self._gspmd_place(params, opt_state,

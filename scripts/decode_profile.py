@@ -24,7 +24,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--ckpt', default='runs/QUALITY_hopv.json.ckpt')
     ap.add_argument('--vocab', default='runs/QUALITY_hopv.json.vocab.txt')
-    ap.add_argument('--data', default='/root/reference/data/hopv15/hopv15.csv')
+    ap.add_argument('--data', default='data/hopv15.csv')
     ap.add_argument('--batch', type=int, default=120)
     ap.add_argument('--model', default='prop-opt')
     ap.add_argument('--hidden', type=int, default=250)
