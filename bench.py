@@ -207,6 +207,52 @@ def main():
     dec_elapsed = time.time() - t0
     decode_mols_per_sec = dec_total / dec_elapsed
 
+    # ---- hier-family decode (VERDICT r3 item 2) --------------------------
+    # The reference's flagship architecture is HierG2G (reference
+    # decoder.py:303-472); decode it from the trained hier checkpoint at
+    # the same B=120 / 150-step product regime via the hier turbo path
+    # (decode_hier_turbo: hdec_propose lax.scan + host verify-replay).
+    hier_mols_per_sec = None
+    hier_valid = None
+    hier_ckpt = os.path.join(os.path.dirname(__file__),
+                             'runs/QUALITY_hier_hopv.json.ckpt')
+    if os.path.exists(hier_ckpt):
+        import jax.numpy as jnp
+        from ggpm_tpu.data.batching import to_model_batch
+        from ggpm_tpu.data.vocab_extract import load_vocab_file
+        from ggpm_tpu.models.vae import OPVNet
+        from ggpm_tpu.train import checkpoint as ckpt_mod
+        from ggpm_tpu.train.loop import init_params_on_cpu
+        h_vocab, _ = load_vocab_file(hier_ckpt.replace('.ckpt', '.vocab.txt'))
+        hcfg = ModelConfig(
+            hvocab_size=h_vocab.size()[0], ivocab_size=h_vocab.size()[1],
+            rnn_type='LSTM', hidden_size=250, embed_size=250, latent_size=24,
+            linear_hidden_size=128, depthT=20, depthG=20, diterT=1, diterG=3,
+            dropout=0.0, remat=True)
+        h_model = OPVNet.get_model('hier-prop')(cfg=hcfg)
+        mb0 = pad_batch(tensorize(data[:batch_size], h_vocab,
+                                  common_atom_vocab))
+        h_params = init_params_on_cpu(
+            h_model, jax.tree.map(jnp.asarray,
+                                  to_model_batch(mb0, h_vocab.mask,
+                                                 pad=False)),
+            jax.random.PRNGKey(0), 0.1)
+        h_params = ckpt_mod.load_params(h_params, hier_ckpt)
+        _progress('hier decode warmup / compile')
+        zh = np.random.default_rng(11).standard_normal(
+            (dec_total, 24)).astype(np.float32)
+        decode_best(h_model, h_params, h_vocab, common_atom_vocab,
+                    zh[:dec_b], greedy=True, max_decode_step=dec_steps,
+                    log_steps=False)
+        _progress('timed hier decode')
+        t0 = time.time()
+        _, h_smiles = decode_best(h_model, h_params, h_vocab,
+                                  common_atom_vocab, zh, greedy=True,
+                                  max_decode_step=dec_steps, log_steps=False,
+                                  chunk=dec_b)
+        hier_mols_per_sec = dec_total / (time.time() - t0)
+        hier_valid = sum(s is not None for s in h_smiles) / dec_total
+
     out = {
         'metric': 'train_mols_per_sec',
         'value': round(mols_per_sec, 2),
@@ -233,6 +279,9 @@ def main():
         'decode_total': dec_total,
         'decode_valid_frac': round(
             sum(s is not None for s in smiles) / dec_total, 3),
+        **({'hier_decode_mols_per_sec': round(hier_mols_per_sec, 2),
+            'hier_decode_valid_frac': round(hier_valid, 3)}
+           if hier_mols_per_sec is not None else {}),
         'baseline_note': 'reference publishes no throughput; 60 mols/sec '
                          'is a documented ESTIMATE of the PyTorch '
                          'reference on one modern GPU (see module '

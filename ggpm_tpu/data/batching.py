@@ -40,12 +40,17 @@ def _pad2(a: np.ndarray, rows: int, cols: Optional[int] = None) -> np.ndarray:
 
 
 def pad_level(lv: LevelTensors, n_nodes: int, n_mess: int, n_nb: int,
-              n_cls: Optional[int] = None, batch_size: Optional[int] = None) -> LevelTensors:
+              n_cls: Optional[int] = None, batch_size: Optional[int] = None,
+              n_nb_b: Optional[int] = None) -> LevelTensors:
     old_mess = lv.fmess.shape[0]
     fnode = _pad2(lv.fnode, n_nodes)
     fmess = _pad2(lv.fmess, n_mess)
     agraph = _pad2(lv.agraph, n_nodes, n_nb)
-    bgraph = _pad2(lv.bgraph, n_mess, n_nb)
+    # bgraph gets its OWN (usually narrower) width: it is gathered inside
+    # the depth loop ``depth`` times per step, so its padding multiplies
+    # into the dominant HBM traffic (runs/TRACE_step.json: the atom-level
+    # loop was 48% of the b240 step at width 8 vs max real in-degree 3)
+    bgraph = _pad2(lv.bgraph, n_mess, n_nb_b or n_nb)
     out = LevelTensors(fnode=fnode, fmess=fmess, agraph=agraph, bgraph=bgraph,
                        scope=lv.scope.copy())
     if lv.cgraph is not None:
@@ -126,12 +131,21 @@ def pad_batch(mb: MolGraphBatch) -> MolGraphBatch:
     # put f at 16, which padded ~50-70 real DFS steps to 256 — 4-5× wasted
     # decoder-scan compute per training step
     dims['ts'] = max(32, -(-p.active.shape[0] // 32) * 32)
-    # widths are data-bounded, not size-proportional: fixed small ladder
+    # widths are data-bounded, not size-proportional: fixed small ladder.
+    # bgraph (the in-loop gather table) rounds to a multiple of 2 with
+    # minimum 4 — molecule graphs have max in-degree 3-4, and the loop's
+    # gather traffic scales linearly with this width; agraph and the
+    # decoder's incremental tables keep the coarser min-8 bucket (used
+    # once per encode / sized for decode-time appends).
+    def _round2(n: int, minimum: int = 4) -> int:
+        return max(minimum, (n + 1) // 2 * 2)
     at = _round_up(max(t.agraph.shape[1], t.bgraph.shape[1]), minimum=8)
+    bt_w = min(_round2(t.bgraph.shape[1]), at)
     ct = _round_up(t.cgraph.shape[1], minimum=16)
     ag = _round_up(max(g.agraph.shape[1], g.bgraph.shape[1]), minimum=8)
-    tree = pad_level(t, dims['nt'], dims['mt'], at, ct)
-    graph = pad_level(g, dims['ng'], dims['mg'], ag)
+    bg_w = min(_round2(g.bgraph.shape[1]), ag)
+    tree = pad_level(t, dims['nt'], dims['mt'], at, ct, n_nb_b=bt_w)
+    graph = pad_level(g, dims['ng'], dims['mg'], ag, n_nb_b=bg_w)
     cand_w = _round_up(p.assm_cands.shape[2] if p.assm_cands is not None
                        else 16, minimum=16)
     plan = pad_plan(p, dims['ts'], cand_w)

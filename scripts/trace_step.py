@@ -16,17 +16,63 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 
+_XPLANE_DESCRIPTOR_SET = ('/opt/venv/lib/python3.12/site-packages/tensorflow/'
+                          'include/tsl/profiler/protobuf/'
+                          'xplane_proto-descriptor-set.proto.bin')
+
+
 def parse_xspace(trace_dir):
-    """Extract per-op self times from the captured xplane protobuf via
-    tensorboard_plugin_profile's converter (framework_op_stats tool)."""
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    """Decode the captured xplane protobuf and return per-op totals from the
+    device plane's XLA-ops line.
+
+    tensorboard_plugin_profile's converter is version-mismatched against the
+    installed TF (no ``xspace_to_tools_data`` symbol), so the xplane schema
+    is loaded dynamically from the descriptor-set binary TF ships and the
+    event tree walked directly.  Events on one XLine are non-overlapping
+    leaf executions, so summing durations per metadata name is exact op
+    accounting; device idle = line span − Σ durations."""
+    from google.protobuf import (descriptor_pb2, descriptor_pool,
+                                 message_factory)
     paths = glob.glob(os.path.join(trace_dir, '**', '*.xplane.pb'),
                       recursive=True)
     if not paths:
         raise FileNotFoundError(f'no xplane.pb under {trace_dir}')
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        paths, 'framework_op_stats^', {'tqx': 'out:csv'})
-    return data
+    fds = descriptor_pb2.FileDescriptorSet.FromString(
+        open(_XPLANE_DESCRIPTOR_SET, 'rb').read())
+    pool = descriptor_pool.DescriptorPool()
+    for f in fds.file:
+        pool.Add(f)
+    XSpace = message_factory.GetMessageClass(
+        pool.FindMessageTypeByName('tensorflow.profiler.XSpace'))
+    xspace = XSpace.FromString(open(sorted(paths)[-1], 'rb').read())
+
+    device_planes = [p for p in xspace.planes
+                     if p.name.startswith('/device:')]
+    out = {'planes': [p.name for p in xspace.planes], 'lines': {}}
+    per_op = {}
+    busy_span = {}
+    for plane in device_planes:
+        emeta = {k: v.name for k, v in plane.event_metadata.items()}
+        for line in plane.lines:
+            key = f'{plane.name}::{line.name}'
+            t0, t1, busy = None, None, 0
+            for ev in line.events:
+                name = emeta.get(ev.metadata_id, str(ev.metadata_id))
+                d = per_op.setdefault((line.name, name), [0.0, 0])
+                d[0] += ev.duration_ps / 1e9      # ps → ms
+                d[1] += 1
+                s, e = ev.offset_ps, ev.offset_ps + ev.duration_ps
+                t0 = s if t0 is None else min(t0, s)
+                t1 = e if t1 is None else max(t1, e)
+                busy += ev.duration_ps
+            if t0 is not None:
+                out['lines'][key] = {
+                    'span_ms': (t1 - t0) / 1e9,
+                    'busy_ms': busy / 1e9,
+                    'events': len(line.events),
+                }
+    out['per_op'] = per_op
+    return out
 
 
 def main():
@@ -41,7 +87,16 @@ def main():
     ap.add_argument('--no-tables', action='store_true')
     ap.add_argument('--trace-dir', default='runs/trace_step')
     ap.add_argument('--out', default='runs/TRACE_step.json')
+    ap.add_argument('--parse-only', action='store_true',
+                    help='distill an already-captured trace dir (skips the '
+                         'model run; wall ms comes from --wall-ms)')
+    ap.add_argument('--wall-ms', type=float, default=None)
+    ap.add_argument('--platform', default=None)
     args = ap.parse_args()
+
+    if args.parse_only:
+        _distill(args, args.wall_ms, args.platform or 'tpu')
+        return
 
     import jax
     import numpy as np
@@ -91,50 +146,72 @@ def main():
     wall = (time.time() - t0) / args.steps
     print(f'{args.steps} steps traced, {wall*1e3:.1f} ms/step', flush=True)
 
-    csv_data = parse_xspace(args.trace_dir)
-    import csv as _csv
-    import io
-    rows = list(_csv.DictReader(io.StringIO(
-        csv_data if isinstance(csv_data, str) else csv_data.decode())))
-    # normalise: keep device ops with self time
-    def f(r, k, d=0.0):
-        try:
-            return float(r.get(k, d) or d)
-        except ValueError:
-            return d
+    _distill(args, wall * 1e3, jax.devices()[0].platform)
+
+
+def _category(op_name: str) -> str:
+    """Coarse op category from the XLA op name (fusions are named after
+    their root instruction)."""
+    n = op_name.lower()
+    for tag, cat in (('dot', 'matmul'), ('conv', 'matmul'),
+                     ('scatter', 'scatter'), ('gather', 'gather'),
+                     ('dynamic-slice', 'gather'),
+                     ('dynamic-update-slice', 'scatter'),
+                     ('all-reduce', 'collective'), ('copy', 'copy'),
+                     ('transpose', 'copy'), ('convert', 'convert'),
+                     ('reduce', 'reduce'), ('sort', 'sort'),
+                     ('rng', 'rng'), ('iota', 'elementwise'),
+                     ('select', 'elementwise'), ('broadcast', 'elementwise'),
+                     ('compare', 'elementwise'), ('add', 'elementwise'),
+                     ('mul', 'elementwise'), ('tanh', 'elementwise'),
+                     ('logistic', 'elementwise'), ('exp', 'elementwise')):
+        if tag in n:
+            return cat
+    if n.startswith(('fusion', 'loop_', 'input_', 'output_', 'wide.')):
+        return 'fusion-other'
+    return 'other'
+
+
+def _distill(args, wall_ms, platform):
+    space = parse_xspace(args.trace_dir)
     ops = []
-    for r in rows:
-        name = r.get('Operation') or r.get('Op name') or r.get('Type', '?')
-        ops.append({
-            'op': name,
-            'category': r.get('Type', r.get('Category', '?')),
-            'total_self_ms': f(r, 'Total self-time (us)') / 1e3,
-            'avg_self_us': f(r, 'Avg. self-time (us)'),
-            'occurrences': int(f(r, '#Occurrences')),
-            'flop_rate': f(r, 'GFLOPs/sec'),
-            'mem_bw_gbps': f(r, 'Memory BW (GB/s)'),
-        })
-    ops.sort(key=lambda o: -o['total_self_ms'])
-    by_cat = {}
+    for (line, name), (ms, n) in space['per_op'].items():
+        ops.append({'line': line, 'op': name, 'category': _category(name),
+                    'total_ms': round(ms, 3), 'occurrences': n,
+                    'avg_us': round(ms / max(n, 1) * 1e3, 1)})
+    # the XLA-ops line carries the leaf executions; other lines (modules,
+    # steps) are containers — report ops from the busiest line only
+    line_tot = {}
     for o in ops:
-        c = by_cat.setdefault(o['category'], {'total_self_ms': 0.0, 'n': 0})
-        c['total_self_ms'] += o['total_self_ms']
+        line_tot[o['line']] = line_tot.get(o['line'], 0.0) + o['total_ms']
+    op_line = max(line_tot, key=line_tot.get) if line_tot else None
+    leaf = sorted((o for o in ops if o['line'] == op_line),
+                  key=lambda o: -o['total_ms'])
+    by_cat = {}
+    for o in leaf:
+        c = by_cat.setdefault(o['category'], {'total_ms': 0.0, 'n': 0})
+        c['total_ms'] += o['total_ms']
         c['n'] += o['occurrences']
     report = {
-        'batch': bs, 'hidden': args.hidden, 'dtype': args.dtype,
-        'steps': args.steps, 'ms_per_step_wall': wall * 1e3,
+        'batch': args.batch, 'hidden': args.hidden, 'dtype': args.dtype,
+        'steps': args.steps, 'ms_per_step_wall': wall_ms,
         'tables': not args.no_tables,
-        'platform': jax.devices()[0].platform,
-        'by_category': {k: dict(v, total_self_ms=round(v['total_self_ms'], 3))
+        'platform': platform,
+        'lines': space['lines'],
+        'op_line': op_line,
+        'by_category': {k: dict(v, total_ms=round(v['total_ms'], 3))
                         for k, v in sorted(by_cat.items(),
-                                           key=lambda kv: -kv[1]['total_self_ms'])},
-        'top_ops': ops[:40],
+                                           key=lambda kv: -kv[1]['total_ms'])},
+        'top_ops': leaf[:48],
     }
     with open(args.out, 'w') as fp:
         json.dump(report, fp, indent=2)
     print('wrote', args.out)
+    for k, v in space['lines'].items():
+        print(f"{k}: span {v['span_ms']:.1f} ms, busy {v['busy_ms']:.1f} ms, "
+              f"{v['events']} events")
     for k, v in list(report['by_category'].items())[:12]:
-        print(f"{k:32s} {v['total_self_ms']:10.2f} ms  ({v['n']} ops)")
+        print(f"{k:16s} {v['total_ms']:10.2f} ms  ({v['n']} events)")
 
 
 if __name__ == '__main__':
