@@ -94,24 +94,32 @@ def write_vocab(rows, path: str) -> None:
 
 def load_vocab_file(path: str):
     """Load a vocab file and return (PairVocab, fragment list); also loads
-    the frequent fragments into MolGraph (reference vae_train.py:28-30)."""
+    the frequent fragments into MolGraph (reference vae_train.py:28-30).
+
+    Accepts both the 3-column ``smiles ismiles bool`` format this repo
+    writes and the reference's 2-column ``smiles ismiles`` files (e.g.
+    ``data/chembl/vocab.txt``), whose rows carry no fragment flag."""
     from ..graph.vocab import PairVocab
     lines = [x.strip('\r\n ').split() for x in open(path) if x.strip()]
-    fragments = [x[0] for x in lines if eval(x[-1])]
+    fragments = [x[0] for x in lines if len(x) >= 3 and x[-1] == 'True']
     MolGraph.load_fragments(fragments)
     return PairVocab([(x[0], x[1]) for x in lines]), fragments
 
 
 def merge_vocabs(paths: Sequence[str]) -> List[str]:
-    """Order-preserving union of vocab files (reference merge_vocab.py)."""
-    seen, out = set(), []
+    """Order-preserving union of vocab files (reference merge_vocab.py),
+    keyed on the (smiles, ismiles) pair so the same entry appearing with
+    and without a fragment flag merges into one row (flags OR together)."""
+    seen: dict = {}
     for p in paths:
         for line in open(p):
-            line = line.rstrip('\n')
-            if line and line not in seen:
-                seen.add(line)
-                out.append(line)
-    return out
+            parts = line.split()
+            if len(parts) < 2:
+                continue
+            key = (parts[0], parts[1])
+            flag = len(parts) >= 3 and parts[2] == 'True'
+            seen[key] = seen.get(key, False) or flag
+    return [f'{x} {y} {flag}' for (x, y), flag in seen.items()]
 
 
 def _tensorize_chunk(args):

@@ -1,0 +1,241 @@
+"""Fine-tune protocol sweep on curated-OPV (VERDICT r4 item 5).
+
+The reference's curated-OPV numbers (thesis Table 5.2: MotifOpt IO HOMO 1.82
+/ LUMO 0.91) come from its full protocol — pretrain on a polymer corpus,
+fine-tune the supervised heads on ``data/chem_data/train.csv``, and report
+MAE on ``data/chem_data/cleaned_data.csv`` as the TEST set (reference
+fine_tuned_property_optim_*_configs.json: ``test_data`` points at
+cleaned_data.csv).  Round-3 trained from scratch on 48 of the 60 curated
+molecules and tested on 12 — a different, noisier protocol.
+
+This sweep runs the reference's protocol matrix from one shared pretrain:
+  EW  equal weights              (loss_scaling=False)
+  TD  task-dependent uncertainty (loss_scaling=True, models/heads.LossWeigh;
+      reference ggpm/loss_weigh.py:5-23)
+  IO  individually-optimized subnetworks (train/optim.make_multi_optimizer;
+      reference vae_fine_tune_indv_opt.py:61-70)
+
+and reports per-protocol HOMO/LUMO MAE on the full 60-molecule test set,
+plus the predict-the-training-mean baseline and a bootstrap CI so the
+result's resolution is explicit.  Writes runs/FT_SWEEP.json.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+OUT = 'runs/FT_SWEEP.json'
+PRE_CKPT = 'runs/FT_SWEEP_pre.ckpt'
+VOCAB = 'runs/FT_SWEEP_vocab.txt'
+
+
+def _load(path):
+    from ggpm_tpu.cli.common import read_csv_data
+    return read_csv_data(path)
+
+
+def _tensorize_all(data, vocab, bs):
+    from ggpm_tpu.data.vocab_extract import tensorize_batches
+    from ggpm_tpu.graph.vocab import common_atom_vocab
+    raw = [data[i:i + bs] for i in range(0, len(data) - bs + 1, bs)]
+    return tensorize_batches(raw, vocab, common_atom_vocab, ncpu=8)
+
+
+def _make_model(vocab, loss_scaling, hidden, latent):
+    from ggpm_tpu.models.vae import ModelConfig, OPVNet
+    cfg = ModelConfig(hvocab_size=vocab.size()[0], ivocab_size=vocab.size()[1],
+                      rnn_type='LSTM', hidden_size=hidden, embed_size=hidden,
+                      latent_size=latent, linear_hidden_size=128, depthT=20,
+                      depthG=20, diterT=1, diterG=3, dropout=0.0,
+                      loss_scaling=loss_scaling)
+    return OPVNet.get_model('prop-opt')(cfg=cfg)
+
+
+def _train(model, vocab, batches, epochs, params=None, optimizer=None,
+           seed=1, log_every=50):
+    import numpy as np
+    from ggpm_tpu.train.loop import Trainer, device_sync
+    from ggpm_tpu.train.optim import make_optimizer
+    opt = optimizer or make_optimizer(lr=1e-3, clip_norm=20.0,
+                                      anneal_rate=0.9,
+                                      steps_per_epoch=len(batches))
+    tr = Trainer(model, opt, vocab.mask, beta=0.1, print_iter=10 ** 9,
+                 seed=seed)
+    p0, opt_state = tr.init(batches[0])
+    if params is not None:
+        from ggpm_tpu.train.checkpoint import copy_matching
+        params = copy_matching(p0, params)
+    else:
+        params = p0
+    dev = [tr._device_batch(b) for b in batches]
+    metrics = None
+    for epoch in range(epochs):
+        for db in dev:
+            params, opt_state, metrics, _ = tr.train_step(params, opt_state,
+                                                          db)
+        if epoch % log_every == 0:
+            device_sync(metrics)
+            m = {k: round(float(np.asarray(v).reshape(-1)[-1]), 3)
+                 for k, v in metrics.items()}
+            print(f'  epoch {epoch}: loss {m.get("Loss")} '
+                  f'homo {m.get("HOMO_MSE")} lumo {m.get("LUMO_MSE")}',
+                  flush=True)
+    device_sync(metrics)
+    return params
+
+
+def _mae(model, params, vocab, test):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ggpm_tpu.data.batching import pad_batch, to_model_batch
+    from ggpm_tpu.graph.mol_graph import tensorize
+    from ggpm_tpu.graph.vocab import common_atom_vocab
+    hps, lps, hts, lts = [], [], [], []
+    bs = 20
+    for i in range(0, len(test), bs):
+        chunk = test[i:i + bs]
+        mb = tensorize(chunk, vocab, common_atom_vocab)
+        batch = jax.tree.map(jnp.asarray,
+                             to_model_batch(pad_batch(mb), vocab.mask,
+                                            pad=False))
+        z, _ = model.apply(params, batch['tree'],
+                           method=lambda m, t: m.encode_latent(t,
+                                                               perturb=False))
+        hp, lp = model.apply(params, z,
+                             method=lambda m, zz: m.predict_properties(zz))
+        hps += list(np.asarray(hp)[:len(chunk)])
+        lps += list(np.asarray(lp)[:len(chunk)])
+        hts += [h for _, h, _ in chunk]
+        lts += [l for _, _, l in chunk]
+    he = np.abs(np.array(hps) - np.array(hts, float))
+    le = np.abs(np.array(lps) - np.array(lts, float))
+    rng = np.random.default_rng(0)
+    boot_h = [float(np.mean(rng.choice(he, len(he)))) for _ in range(2000)]
+    boot_l = [float(np.mean(rng.choice(le, len(le)))) for _ in range(2000)]
+    return {
+        'HOMO_MAE': round(float(he.mean()), 4),
+        'LUMO_MAE': round(float(le.mean()), 4),
+        'HOMO_MAE_ci90': [round(float(np.percentile(boot_h, 5)), 4),
+                          round(float(np.percentile(boot_h, 95)), 4)],
+        'LUMO_MAE_ci90': [round(float(np.percentile(boot_l, 5)), 4),
+                          round(float(np.percentile(boot_l, 95)), 4)],
+        'n_test': len(he),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--hidden', type=int, default=400)
+    ap.add_argument('--latent', type=int, default=48)
+    ap.add_argument('--pre-epochs', type=int, default=150)
+    ap.add_argument('--ft-epochs', type=int, default=150)
+    ap.add_argument('--protocols', default='EW,TD,IO')
+    ap.add_argument('--skip-pretrain', action='store_true')
+    args = ap.parse_args()
+
+    import numpy as np
+    from ggpm_tpu.data.dataset import prune_to_vocab
+    from ggpm_tpu.data.vocab_extract import build_vocab, load_vocab_file
+    from ggpm_tpu.graph.vocab import PairVocab
+    from ggpm_tpu.train import checkpoint as ckpt_mod
+
+    hopv = _load('data/hopv15.csv')
+    ft = _load('data/chem_data/train.csv')
+    test = _load('data/chem_data/cleaned_data.csv')
+
+    if os.path.exists(VOCAB) and args.skip_pretrain:
+        vocab, _ = load_vocab_file(VOCAB)
+    else:
+        rows, _ = build_vocab([r[0] for r in hopv + ft + test],
+                              min_frequency=2, ncpu=8)
+        with open(VOCAB, 'w') as f:
+            for x, y, b in rows:
+                f.write(f'{x} {y} {b}\n')
+        vocab = PairVocab([(x, y) for x, y, _ in rows])
+    print(f'vocab {vocab.size()}', flush=True)
+    pre_data = prune_to_vocab(hopv + ft, vocab)
+    ft_data = prune_to_vocab(ft, vocab)
+    test_kept = prune_to_vocab(test, vocab)
+    print(f'pretrain {len(pre_data)} / ft {len(ft_data)} / test '
+          f'{len(test_kept)}', flush=True)
+
+    report = {'hidden': args.hidden, 'latent': args.latent,
+              'pre_epochs': args.pre_epochs, 'ft_epochs': args.ft_epochs,
+              'protocol_note': 'pretrain hopv15+train.csv -> fine-tune '
+                               'train.csv -> test cleaned_data.csv '
+                               '(reference fine_tuned_*_configs.json '
+                               'test_data)'}
+    # predict-the-training-mean baseline: the resolution floor of the task
+    hmean = float(np.mean([h for _, h, _ in ft_data if h is not None]))
+    lmean = float(np.mean([l for _, _, l in ft_data if l is not None]))
+    report['mean_baseline'] = {
+        'HOMO_MAE': round(float(np.mean(
+            [abs(h - hmean) for _, h, _ in test_kept])), 4),
+        'LUMO_MAE': round(float(np.mean(
+            [abs(l - lmean) for _, _, l in test_kept])), 4)}
+    print('mean baseline', report['mean_baseline'], flush=True)
+
+    model_ew = _make_model(vocab, False, args.hidden, args.latent)
+    pre_batches = _tensorize_all(pre_data, vocab, 20)
+    if args.skip_pretrain and os.path.exists(PRE_CKPT):
+        from ggpm_tpu.train.loop import init_params_on_cpu, Trainer
+        from ggpm_tpu.train.optim import make_optimizer
+        tr = Trainer(model_ew, make_optimizer(1e-3, 20.0, 0.9, 1), vocab.mask,
+                     beta=0.1, print_iter=10 ** 9)
+        pre_params, _ = tr.init(pre_batches[0])
+        pre_params = ckpt_mod.load_params(pre_params, PRE_CKPT)
+    else:
+        t0 = time.time()
+        print(f'pretraining on {len(pre_batches)} batches', flush=True)
+        pre_params = _train(model_ew, vocab, pre_batches, args.pre_epochs)
+        ckpt_mod.save_params(pre_params, PRE_CKPT)
+        print(f'pretrained in {time.time()-t0:.0f}s', flush=True)
+    report['pretrain_mae_on_test'] = _mae(model_ew, pre_params, vocab,
+                                          test_kept)
+    print('pretrain MAE', report['pretrain_mae_on_test'], flush=True)
+
+    ft_batches = _tensorize_all(ft_data, vocab, 20)
+    results = {}
+    for proto in args.protocols.split(','):
+        t0 = time.time()
+        print(f'== fine-tune {proto} ==', flush=True)
+        if proto == 'EW':
+            model = model_ew
+            optimizer = None
+        elif proto == 'TD':
+            model = _make_model(vocab, True, args.hidden, args.latent)
+            optimizer = None
+        elif proto == 'IO':
+            model = model_ew
+            from ggpm_tpu.train.optim import (default_group_fn,
+                                              make_multi_optimizer)
+            optimizer = make_multi_optimizer(
+                default_group_fn,
+                {'encoder': 1e-3, 'decoder': 1e-3,
+                 'homo': 1e-3, 'lumo': 1e-3},
+                clip_norm=20.0, anneal_rate=0.9,
+                steps_per_epoch=len(ft_batches))
+        else:
+            raise ValueError(proto)
+        params = _train(model, vocab, ft_batches, args.ft_epochs,
+                        params=pre_params, optimizer=optimizer)
+        results[proto] = _mae(model, params, vocab, test_kept)
+        results[proto]['seconds'] = round(time.time() - t0, 1)
+        print(proto, results[proto], flush=True)
+        ckpt_mod.save_params(params, f'runs/FT_SWEEP_{proto}.ckpt')
+
+    import jax
+    report['protocols'] = results
+    report['platform'] = jax.devices()[0].platform
+    with open(OUT, 'w') as f:
+        json.dump(report, f, indent=2)
+    print('wrote', OUT, flush=True)
+
+
+if __name__ == '__main__':
+    main()
