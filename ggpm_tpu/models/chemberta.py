@@ -13,6 +13,7 @@ local FlaxRoberta checkpoint when one is available.
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -266,12 +267,14 @@ def train_chemberta(train_data: List[list], val_data: List[list],
                     anneal_rate: float = 0.9, patience: int = 5,
                     max_len: int = 256, seed: int = 0,
                     model_kwargs: Optional[dict] = None,
-                    pretrained_dir: Optional[str] = None, log=print):
+                    pretrained_dir: Optional[str] = None,
+                    ckpt_path: str = 'runs/chemberta.best', log=print):
     """Fine-tuning loop (reference chemberta_pr2_fine_tune.py:91-193):
     Adam + exponential decay, per-epoch validation, early stopping on val
-    loss."""
+    loss.  Returns the BEST-val-loss params (restored from ``ckpt_path``),
+    matching the reference's load-best-before-test protocol."""
     import optax
-    from ..train.checkpoint import EarlyStopping
+    from ..train.checkpoint import EarlyStopping, load_params
 
     tok = SmilesTokenizer.build([r[0] for r in train_data])
     model = ChemBertaForPR2(vocab_size=tok.vocab_size, max_len=max_len,
@@ -315,7 +318,7 @@ def train_chemberta(train_data: List[list], val_data: List[list],
     def eval_step(params, toks, homos, lumos):
         return model.apply(params, toks, homos, lumos, True)
 
-    early = EarlyStopping(patience=patience, path='chemberta.best')
+    early = EarlyStopping(patience=patience, path=ckpt_path)
     for epoch in range(epochs):
         for toks, homos, lumos in train_b:
             rng, r = jax.random.split(rng)
@@ -334,4 +337,6 @@ def train_chemberta(train_data: List[list], val_data: List[list],
             if early.early_stop:
                 log('Early stopping.')
                 break
+    if val_b and os.path.exists(early.path):
+        params = load_params(params, early.path)
     return model, params, tok

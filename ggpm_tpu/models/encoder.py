@@ -31,12 +31,13 @@ class MPNEncoder(nn.Module):
     depth: int
     dropout: float = 0.0
     dtype: Optional[Any] = None
+    remat: bool = False   # checkpoint each depth iteration (rnn._unrolled)
 
     def setup(self):
         self.W_o = nn.Dense(self.hidden_size, dtype=self.dtype)
         self.drop = nn.Dropout(self.dropout)
         self.rnn = make_cell(self.rnn_type, self.hidden_size, self.depth,
-                             dtype=self.dtype)
+                             dtype=self.dtype, remat=self.remat)
 
     def __call__(self, hnode, hmess, agraph, bgraph, deterministic=True,
                  bt=None):
@@ -78,6 +79,7 @@ class MotifEncoder(nn.Module):
     depthT: int = 20
     dropout: float = 0.0
     compute_dtype: Optional[Any] = None
+    remat: bool = False
     E_c: Optional[nn.Module] = None
     E_i: Optional[nn.Module] = None
 
@@ -92,7 +94,8 @@ class MotifEncoder(nn.Module):
                                        hidden_size=self.hidden_size,
                                        depth=self.depthT,
                                        dropout=self.dropout,
-                                       dtype=self.compute_dtype)
+                                       dtype=self.compute_dtype,
+                                       remat=self.remat)
 
     def _ec(self):
         return self.E_c if self.E_c is not None else self.E_c_mod
@@ -134,6 +137,7 @@ class HierMPNEncoder(nn.Module):
     depthG: int = 20
     dropout: float = 0.0
     compute_dtype: Optional[Any] = None
+    remat: bool = False
     E_c: Optional[nn.Module] = None
     E_i: Optional[nn.Module] = None
 
@@ -149,15 +153,18 @@ class HierMPNEncoder(nn.Module):
         self.tree_encoder = MPNEncoder(rnn_type=self.rnn_type,
                                        hidden_size=self.hidden_size,
                                        depth=self.depthT, dropout=self.dropout,
-                                       dtype=self.compute_dtype)
+                                       dtype=self.compute_dtype,
+                                       remat=self.remat)
         self.inter_encoder = MPNEncoder(rnn_type=self.rnn_type,
                                         hidden_size=self.hidden_size,
                                         depth=self.depthT, dropout=self.dropout,
-                                        dtype=self.compute_dtype)
+                                        dtype=self.compute_dtype,
+                                        remat=self.remat)
         self.graph_encoder = MPNEncoder(rnn_type=self.rnn_type,
                                         hidden_size=self.hidden_size,
                                         depth=self.depthG, dropout=self.dropout,
-                                        dtype=self.compute_dtype)
+                                        dtype=self.compute_dtype,
+                                        remat=self.remat)
 
     def _ec(self):
         return self.E_c if self.E_c is not None else self.E_c_mod

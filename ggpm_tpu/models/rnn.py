@@ -45,6 +45,7 @@ class MPNGRUCell(nn.Module):
     hidden_size: int
     depth: int
     dtype: Optional[Any] = None
+    remat: bool = False   # checkpoint each depth iteration (see _unrolled)
 
     def setup(self):
         h = self.hidden_size
@@ -140,18 +141,27 @@ class MPNGRUCell(nn.Module):
             kz = kz.astype(self.dtype)
             kh = kh.astype(self.dtype)
 
+        # materialize U_r's params once so the loop body is a pure array
+        # closure (jax.checkpoint-able in _unrolled); h0 is zeros so the
+        # call itself is just the bias broadcast
+        self.U_r(h0)
+        ur_k = self.U_r.variables['params']['kernel']
+        ur_b = self.U_r.variables['params']['bias']
+        if self.dtype is not None:
+            ur_k, ur_b = ur_k.astype(self.dtype), ur_b.astype(self.dtype)
+
         ns, gth = _loop_gathers(bgraph, bt)
 
         def body(_, state):
             h, = state
             sum_h = ns(h)
             z = jax.nn.sigmoid(xz + sum_h @ kz)
-            r = jax.nn.sigmoid(xr + gth(self.U_r(h)))
+            r = jax.nn.sigmoid(xr + gth(h @ ur_k + ur_b))
             sum_gated_h = (r * gth(h)).sum(axis=-2)
             pre_h = jnp.tanh(xh_pre + sum_gated_h @ kh)
             return (zero_row0((1.0 - z) * sum_h + z * pre_h),)
 
-        return _unrolled(body, self.depth, (h0,))
+        return _unrolled(body, self.depth, (h0,), self.remat)
 
 
 class MPNLSTMCell(nn.Module):
@@ -160,6 +170,7 @@ class MPNLSTMCell(nn.Module):
     hidden_size: int
     depth: int
     dtype: Optional[Any] = None
+    remat: bool = False   # checkpoint each depth iteration (see _unrolled)
 
     def setup(self):
         h = self.hidden_size
@@ -282,29 +293,43 @@ class MPNLSTMCell(nn.Module):
             h_new = o * jnp.tanh(c_new)
             return (zero_row0(h_new), zero_row0(c_new))
 
-        return _unrolled(body, self.depth, (h0, h0))
+        return _unrolled(body, self.depth, (h0, h0), self.remat)
 
 
-def _unrolled(body, depth: int, state):
+def _unrolled(body, depth: int, state, remat: bool = False):
     """Static unroll of the depth loop.
 
     ``depth`` is a hyperparameter (20 in the canonical config); unrolling lets
     XLA pipeline the gather → matmul chain across iterations instead of
     carrying a loop barrier.  For very deep configs fall back to fori_loop.
+
+    With ``remat`` each iteration is rematerialised (``jax.checkpoint``):
+    the backward then saves only the [N, H] carry per iteration instead of
+    every gate/gather intermediate, and recomputes the gates on the way
+    back.  Numerically exact.  Measured on TPU (round 4) this trades ~20%
+    throughput for the memory in EVERY regime — the recomputed gates are
+    gather-bound, not free — so it is a memory lever only, exposed as
+    ``ModelConfig.loop_remat`` (default off) for configs that would
+    otherwise OOM, and deliberately NOT tied to the decoder-scan ``remat``
+    flag.
     """
     if depth <= 24:
+        step = (jax.checkpoint(body, static_argnums=(0,)) if remat
+                else body)
         for i in range(depth):
-            state = body(i, state)
+            state = step(i, state)
         return state
-    return jax.lax.fori_loop(0, depth, body, state)
+    # fori_loop passes a traced index — checkpoint without static args
+    step = jax.checkpoint(body) if remat else body
+    return jax.lax.fori_loop(0, depth, step, state)
 
 
 def make_cell(rnn_type: str, hidden_size: int, depth: int, name=None,
-              dtype=None):
+              dtype=None, remat: bool = False):
     if rnn_type == 'GRU':
         return MPNGRUCell(hidden_size=hidden_size, depth=depth, name=name,
-                          dtype=dtype)
+                          dtype=dtype, remat=remat)
     if rnn_type == 'LSTM':
         return MPNLSTMCell(hidden_size=hidden_size, depth=depth, name=name,
-                          dtype=dtype)
+                           dtype=dtype, remat=remat)
     raise ValueError(f'unsupported rnn cell type {rnn_type}')

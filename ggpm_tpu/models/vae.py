@@ -38,6 +38,7 @@ class ModelConfig:
                  depthT: int = 20, depthG: int = 20, diterT: int = 1, diterG: int = 5,
                  dropout: float = 0.0, tie_embedding: bool = True,
                  loss_scaling: bool = False, remat: bool = False,
+                 loop_remat: bool = False,
                  use_attention: bool = False,
                  compute_dtype: str = 'float32'):
         self.hvocab_size = hvocab_size
@@ -56,6 +57,11 @@ class ModelConfig:
         self.tie_embedding = tie_embedding
         self.loss_scaling = loss_scaling
         self.remat = remat
+        # Encoder depth-loop remat: measured a pure throughput loss in every
+        # regime on TPU (runs/MFU.json vs /tmp/mfu_remat1_full.json, round 4:
+        # canonical b240 2838→2293 mols/s, large b240 697→565) — the gates it
+        # recomputes are gather-bound, not free.  Memory lever only.
+        self.loop_remat = loop_remat
         self.use_attention = use_attention
         self.compute_dtype = compute_dtype
 
@@ -77,6 +83,7 @@ class ModelConfig:
             tie_embedding=getattr(configs, 'tie_embedding', True),
             loss_scaling=getattr(configs, 'loss_scaling', False),
             remat=getattr(configs, 'remat', False),
+            loop_remat=getattr(configs, 'loop_remat', False),
             use_attention=getattr(configs, 'use_attention', False),
             compute_dtype=getattr(configs, 'compute_dtype', 'float32'),
         )
@@ -107,7 +114,7 @@ class PropertyVAE(nn.Module):
             atom_vocab_size=c.atom_vocab_size, rnn_type=c.rnn_type,
             embed_size=c.embed_size, hidden_size=c.hidden_size,
             depthT=c.depthT, dropout=c.dropout,
-            compute_dtype=_dtype(c), E_c=ec, E_i=ei)
+            compute_dtype=_dtype(c), remat=c.loop_remat, E_c=ec, E_i=ei)
         self.R_mean = nn.Dense(c.latent_size)
         self.R_var = nn.Dense(c.latent_size)
         if c.use_attention:
@@ -268,7 +275,7 @@ class HierPropertyVAE(nn.Module):
             atom_vocab_size=c.atom_vocab_size, rnn_type=c.rnn_type,
             embed_size=c.embed_size, hidden_size=c.hidden_size,
             depthT=c.depthT, depthG=c.depthG, dropout=c.dropout,
-            compute_dtype=_dtype(c), E_c=ec, E_i=ei)
+            compute_dtype=_dtype(c), remat=c.loop_remat, E_c=ec, E_i=ei)
         self.decoder = HierDecoder(
             hvocab_size=c.hvocab_size, ivocab_size=c.ivocab_size,
             atom_vocab_size=c.atom_vocab_size, rnn_type=c.rnn_type,
