@@ -18,24 +18,30 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops import gather_nd, gather_nd_t, nei_sum, nei_sum_t, zero_row0
+from ..ops import gather_nd, gather_nd_t, zero_row0
 
 
-def _loop_gathers(bgraph, bt):
-    """(neighbour-sum, row-gather) closures for the depth loop.
+def _fused_gather(bgraph, bt):
+    """Single row-gather closure for the depth loop.
+
+    The loop body gathers several per-message tables (state, projected
+    gates, cell memory) by the SAME ``bgraph`` index every iteration; the
+    caller concatenates them into one wide table and gathers ONCE — the
+    b240 device trace (runs/TRACE_step.json) shows the step is bound by
+    async copy/DMA descriptor count (~1.9k/step at mbu_gather ≈ 0.1), not
+    by gather bytes, so one [E, A, kH] gather beats k [E, A, H] gathers.
 
     With ``bt`` — a host-precomputed ``(t_idx, t_mask)`` transpose of
-    ``bgraph`` (ops.build_transpose) — both use the transpose-table
+    ``bgraph`` (ops.build_transpose) — the gather uses the transpose-table
     backward, replacing XLA's scatter-add VJP with a dense gather
     (runs/PROFILE_bwd.json: the scatter-adds were ~52 of the 89 ms
     canonical-b240 step).  Gradient-exact at these call sites: see the
     note in ops/graph_ops.py and the grad-equivalence test
     (tests/test_models.py::test_transpose_table_grads_exact)."""
     if bt is None:
-        return (lambda h: nei_sum(h, bgraph)), (lambda v: gather_nd(v, bgraph))
+        return lambda v: gather_nd(v, bgraph)
     t_idx, t_mask = bt
-    return (lambda h: nei_sum_t(h, bgraph, t_idx, t_mask),
-            lambda v: gather_nd_t(v, bgraph, t_idx, t_mask))
+    return lambda v: gather_nd_t(v, bgraph, t_idx, t_mask)
 
 
 class MPNGRUCell(nn.Module):
@@ -150,14 +156,19 @@ class MPNGRUCell(nn.Module):
         if self.dtype is not None:
             ur_k, ur_b = ur_k.astype(self.dtype), ur_b.astype(self.dtype)
 
-        ns, gth = _loop_gathers(bgraph, bt)
+        gth = _fused_gather(bgraph, bt)
+        H = self.hidden_size
 
         def body(_, state):
             h, = state
-            sum_h = ns(h)
+            # one fused gather of [h | U_r h + b]: h_nei feeds both the
+            # neighbour sum and the reset-gated sum (see _fused_gather)
+            g = gth(jnp.concatenate([h, h @ ur_k + ur_b], axis=-1))
+            h_nei, r_pre = g[..., :H], g[..., H:]
+            sum_h = h_nei.sum(axis=-2)
             z = jax.nn.sigmoid(xz + sum_h @ kz)
-            r = jax.nn.sigmoid(xr + gth(h @ ur_k + ur_b))
-            sum_gated_h = (r * gth(h)).sum(axis=-2)
+            r = jax.nn.sigmoid(xr + r_pre)
+            sum_gated_h = (r * h_nei).sum(axis=-2)
             pre_h = jnp.tanh(xh_pre + sum_gated_h @ kh)
             return (zero_row0((1.0 - z) * sum_h + z * pre_h),)
 
@@ -280,16 +291,22 @@ class MPNLSTMCell(nn.Module):
         if self.dtype is not None:
             ki, ko, ku, kf = (k.astype(self.dtype) for k in (ki, ko, ku, kf))
 
-        ns, gth = _loop_gathers(bgraph, bt)
+        gth = _fused_gather(bgraph, bt)
+        H = self.hidden_size
 
         def body(_, state):
             h, c = state
-            h_sum = ns(h)
+            # one fused gather of [h | h Kf | c] per iteration instead of
+            # three [E, A, H] gathers (see _fused_gather)
+            g = gth(jnp.concatenate([h, h @ kf, c], axis=-1))
+            h_nei, fh_nei, c_nei = (g[..., :H], g[..., H:2 * H],
+                                    g[..., 2 * H:])
+            h_sum = h_nei.sum(axis=-2)
             i = jax.nn.sigmoid(xi + h_sum @ ki)
             o = jax.nn.sigmoid(xo + h_sum @ ko)
             u = jnp.tanh(xu + h_sum @ ku)
-            f = jax.nn.sigmoid(xf + gth(h @ kf))
-            c_new = i * u + (f * gth(c)).sum(axis=-2)
+            f = jax.nn.sigmoid(xf + fh_nei)
+            c_new = i * u + (f * c_nei).sum(axis=-2)
             h_new = o * jnp.tanh(c_new)
             return (zero_row0(h_new), zero_row0(c_new))
 
