@@ -54,16 +54,26 @@ class LatentOptimizer:
                 f'Error: property-optimizing choice "{optimize_type}" is not valid')
 
     # ------------------------------------------------------------------
-    def _grad_step(self, h_vecs, l_vecs, h_tar, l_tar):
+    def _grad_step(self, h_vecs, l_vecs, h_tar, l_tar,
+                   reduction: str = 'sum'):
         """One gradient update with the reference's sign rule
         (update_params, property_control.py:65-69): z ← z − sign·lr·∇z where
         sign = +1 if pred < target else −1 ... note the reference computes
         ``gradient_sign = (preds < targets)·(−2) + 1`` then SUBTRACTS
-        sign·lr·grad."""
+        sign·lr·grad.
+
+        ``reduction``: the reference's soft/patience policies backprop each
+        sample's own loss in a per-sample Python loop
+        (property_control.py:100-105) — per-row gradient d(loss_i)/d(vec_i),
+        which sum's VJP delivers — while hard_optimize backprops a BATCHED
+        ``MSELoss(reduction='mean')`` (property_optimizer.py:20,
+        property_control.py:159-180), scaling each row's gradient by 1/b."""
         def total(hv, lv):
             h_loss, l_loss, h_out, l_out = _per_sample_losses(
                 self.model, self.params, hv, lv, h_tar, l_tar)
-            return h_loss.mean() + l_loss.mean(), (h_out, l_out)
+            if reduction == 'mean':
+                return h_loss.mean() + l_loss.mean(), (h_out, l_out)
+            return h_loss.sum() + l_loss.sum(), (h_out, l_out)
 
         (loss, (h_out, l_out)), grads = jax.value_and_grad(
             total, argnums=(0, 1), has_aux=True)(h_vecs, l_vecs)
@@ -85,7 +95,7 @@ class LatentOptimizer:
         """Fixed number of batched steps (reference property_control.py:159-180)."""
         def body(_, carry):
             h, l = carry
-            h, l, _ = self._grad_step(h, l, h_tar, l_tar)
+            h, l, _ = self._grad_step(h, l, h_tar, l_tar, reduction='mean')
             return (h, l)
         h, l = jax.lax.fori_loop(0, self.steps, body, (h_vecs, l_vecs))
         return jnp.concatenate([h, l], axis=-1)
@@ -125,15 +135,19 @@ class LatentOptimizer:
             rel = jnp.abs(losses - prev) / jnp.maximum(jnp.abs(prev), 1e-12)
             worse = jnp.logical_or(losses > prev, rel <= self.threshold)
             patience_new = jnp.where(worse, patience - 1, self.patience)
-            newly_done = jnp.logical_or(hit_delta, patience_new <= 0)
 
+            # reference order of operations (property_control.py:88-105):
+            # the delta break happens BEFORE the gradient step, but the
+            # patience-exhausting iteration still TAKES its step (backward +
+            # update run before the `while patience > 0` re-check) — so the
+            # step is gated only on delta/done, while done absorbs both
             nh, nl, _ = self._grad_step(h, l, h_tar, l_tar)
-            live = ~jnp.logical_or(done, newly_done)
-            h = jnp.where(live[:, None], nh, h)
-            l = jnp.where(live[:, None], nl, l)
-            prev = jnp.where(done, prev, losses)
-            patience = jnp.where(done, patience, patience_new)
-            done = jnp.logical_or(done, newly_done)
+            stepping = ~jnp.logical_or(done, hit_delta)
+            h = jnp.where(stepping[:, None], nh, h)
+            l = jnp.where(stepping[:, None], nl, l)
+            prev = jnp.where(stepping, losses, prev)
+            patience = jnp.where(stepping, patience_new, patience)
+            done = done | hit_delta | (stepping & (patience_new <= 0))
             return (h, l, prev, patience, done, it + 1)
 
         h, l, _, _, _, _ = jax.lax.while_loop(cond, body, init)

@@ -38,12 +38,18 @@ def main():
     data = [r for r in read_csv_data(args.data)
             if r[1] is not None and r[2] is not None]
     random.Random(1).shuffle(data)
-    test, train = data[:args.holdout], data[args.holdout:]
-    print(f'{len(train)} train / {len(test)} test', flush=True)
+    # 3-way split: early stopping watches VAL, the reported MAE is on the
+    # untouched TEST holdout (the reference early-stops on a separate
+    # val_data config, chemberta_pr2_fine_tune.py:97,181-183)
+    test, rest = data[:args.holdout], data[args.holdout:]
+    n_val = max(len(rest) // 6, 16)
+    val, train = rest[:n_val], rest[n_val:]
+    print(f'{len(train)} train / {len(val)} val / {len(test)} test',
+          flush=True)
 
     t0 = time.time()
     model, params, tok = train_chemberta(
-        train, test, epochs=args.epochs, batch_size=args.batch_size,
+        train, val, epochs=args.epochs, batch_size=args.batch_size,
         lr=args.lr)
     train_s = time.time() - t0
 
