@@ -31,6 +31,19 @@ def _progress(msg):
 _T0 = time.time()
 
 
+def _write_partial(d):
+    """Persist phase results as they land (runs/BENCH_partial.json): the
+    bench runs under external timeouts (driver / artifact queue), and a
+    kill during a later phase must not erase the earlier measurements."""
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            'runs', 'BENCH_partial.json')
+        with open(path, 'w') as f:
+            json.dump(d, f, indent=2)
+    except OSError:
+        pass
+
+
 def _ensure_live_backend():
     """Probe accelerator backend init with a timeout; fall back to CPU.
 
@@ -149,6 +162,8 @@ def main():
     elapsed = time.time() - t0
     n_mols = batch_size * k_steps * n_calls
     mols_per_sec = n_mols / elapsed
+    _write_partial({'train_mols_per_sec': round(mols_per_sec, 2),
+                    'platform': platform})
 
     # ---- decode throughput (autoregressive generation from the prior) ----
     # Representative regime (VERDICT r2 item 8): decode from the TRAINED
@@ -206,6 +221,9 @@ def main():
                             chunk=dec_b)
     dec_elapsed = time.time() - t0
     decode_mols_per_sec = dec_total / dec_elapsed
+    _write_partial({'train_mols_per_sec': round(mols_per_sec, 2),
+                    'decode_mols_per_sec': round(decode_mols_per_sec, 2),
+                    'platform': platform})
 
     # ---- hier-family decode (VERDICT r3 item 2) --------------------------
     # The reference's flagship architecture is HierG2G (reference
@@ -214,9 +232,17 @@ def main():
     # (decode_hier_turbo: hdec_propose lax.scan + host verify-replay).
     hier_mols_per_sec = None
     hier_valid = None
+    hier_note = None
     hier_ckpt = os.path.join(os.path.dirname(__file__),
                              'runs/QUALITY_hier_hopv.json.ckpt')
-    if os.path.exists(hier_ckpt):
+    # the hier propose scan is far heavier than motif (3-level messages +
+    # live atom-hidden candidate scoring); budget the phase so an external
+    # timeout never kills the bench before the JSON prints
+    hier_budget_s = float(os.environ.get('BENCH_HIER_BUDGET_S', 600))
+    if time.time() - _T0 > hier_budget_s:
+        hier_note = 'skipped: bench wall budget exhausted before hier phase'
+        _progress(hier_note)
+    elif os.path.exists(hier_ckpt):
         import jax.numpy as jnp
         from ggpm_tpu.data.batching import to_model_batch
         from ggpm_tpu.data.vocab_extract import load_vocab_file
@@ -240,18 +266,25 @@ def main():
         h_params = ckpt_mod.load_params(h_params, hier_ckpt)
         _progress('hier decode warmup / compile')
         zh = np.random.default_rng(11).standard_normal(
-            (dec_total, 24)).astype(np.float32)
-        decode_best(h_model, h_params, h_vocab, common_atom_vocab,
-                    zh[:dec_b], greedy=True, max_decode_step=dec_steps,
-                    log_steps=False)
-        _progress('timed hier decode')
-        t0 = time.time()
-        _, h_smiles = decode_best(h_model, h_params, h_vocab,
-                                  common_atom_vocab, zh, greedy=True,
-                                  max_decode_step=dec_steps, log_steps=False,
-                                  chunk=dec_b)
-        hier_mols_per_sec = dec_total / (time.time() - t0)
-        hier_valid = sum(s is not None for s in h_smiles) / dec_total
+            (dec_b, 24)).astype(np.float32)
+        try:
+            # warmup at the SAME batch shape (the propose scan compiles per
+            # shape); the timed run is one chunk (not motif's 4×) — hier is
+            # execution-bound, not pipeline-bound (see hdec profile notes)
+            decode_best(h_model, h_params, h_vocab, common_atom_vocab,
+                        zh, greedy=True, max_decode_step=dec_steps,
+                        log_steps=False)
+            _progress('timed hier decode')
+            t0 = time.time()
+            _, h_smiles = decode_best(h_model, h_params, h_vocab,
+                                      common_atom_vocab, zh, greedy=True,
+                                      max_decode_step=dec_steps,
+                                      log_steps=False)
+            hier_mols_per_sec = dec_b / (time.time() - t0)
+            hier_valid = sum(s is not None for s in h_smiles) / dec_b
+        except Exception as e:   # never let the hier phase eat the bench
+            hier_note = f'hier phase failed: {type(e).__name__}: {e}'
+            _progress(hier_note)
 
     out = {
         'metric': 'train_mols_per_sec',
@@ -282,6 +315,7 @@ def main():
         **({'hier_decode_mols_per_sec': round(hier_mols_per_sec, 2),
             'hier_decode_valid_frac': round(hier_valid, 3)}
            if hier_mols_per_sec is not None else {}),
+        **({'hier_note': hier_note} if hier_note else {}),
         'baseline_note': 'reference publishes no throughput; 60 mols/sec '
                          'is a documented ESTIMATE of the PyTorch '
                          'reference on one modern GPU (see module '
