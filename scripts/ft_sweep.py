@@ -158,9 +158,14 @@ def main():
                 f.write(f'{x} {y} {b}\n')
         vocab = PairVocab([(x, y) for x, y, _ in rows])
     print(f'vocab {vocab.size()}', flush=True)
-    pre_data = prune_to_vocab(hopv + ft, vocab)
-    ft_data = prune_to_vocab(ft, vocab)
-    test_kept = prune_to_vocab(test, vocab)
+    def _labeled(rows):
+        return [r for r in rows if r[1] is not None and r[2] is not None]
+
+    pre_data = _labeled(prune_to_vocab(hopv + ft, vocab))
+    ft_data = _labeled(prune_to_vocab(ft, vocab))
+    # cleaned_data.csv carries rows without measured HOMO/LUMO — MAE is
+    # only defined on the labeled ones
+    test_kept = _labeled(prune_to_vocab(test, vocab))
     print(f'pretrain {len(pre_data)} / ft {len(ft_data)} / test '
           f'{len(test_kept)}', flush=True)
 
