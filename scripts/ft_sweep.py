@@ -68,7 +68,8 @@ def _train(model, vocab, batches, epochs, params=None, optimizer=None,
     p0, opt_state = tr.init(batches[0])
     if params is not None:
         from ggpm_tpu.train.checkpoint import copy_matching
-        params = copy_matching(p0, params)
+        params, n_copied = copy_matching(p0, params)
+        print(f'  transferred {n_copied} matching leaves', flush=True)
     else:
         params = p0
     dev = [tr._device_batch(b) for b in batches]
