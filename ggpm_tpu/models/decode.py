@@ -133,7 +133,7 @@ _KERNEL_CACHE: "OrderedDict" = None
 _KERNEL_CACHE_SIZE = 4
 
 
-def _get_kernel(cls, model, params, vocab_mask, beam):
+def _get_kernel(cls, model, params, vocab_mask, beam, *extra):
     """Reuse kernel objects across decode calls (bounded LRU).
 
     ``jax.jit`` caches compilations per function object; each kernel holds
@@ -150,10 +150,10 @@ def _get_kernel(cls, model, params, vocab_mask, beam):
     if _KERNEL_CACHE is None:
         from collections import OrderedDict
         _KERNEL_CACHE = OrderedDict()
-    key = (cls, id(model), id(params), id(vocab_mask), beam)
+    key = (cls, id(model), id(params), id(vocab_mask), beam) + extra
     kern = _KERNEL_CACHE.get(key)
     if kern is None:
-        kern = cls(model, params, vocab_mask, beam)
+        kern = cls(model, params, vocab_mask, beam, *extra)
         # keep the keyed objects alive so id() keys can't be recycled
         kern._cache_refs = (model, params, vocab_mask)
         _KERNEL_CACHE[key] = kern
@@ -253,10 +253,14 @@ class MotifDecodeKernel:
 class HierDecodeKernel:
     """Jitted step functions for the hierarchical decoder."""
 
-    def __init__(self, model, params, vocab_mask: np.ndarray, beam: int = 5):
+    def __init__(self, model, params, vocab_mask: np.ndarray, beam: int = 5,
+                 ke: Optional[int] = None):
         self.params = params
         self.mask = jnp.asarray(vocab_mask)
         self.beam = beam
+        # static cluster-edge-row budget for the propose scan (vocab-derived
+        # data bound; None keeps hdec_propose's conservative default)
+        self.ke = ke
 
         # params/mask as runtime arguments — see MotifDecodeKernel for why
         # closure-captured arrays make lowering take minutes
@@ -302,10 +306,12 @@ class HierDecodeKernel:
         _step_fused = jax.jit(step)
         self.step_fused = lambda *a: _step_fused(self.params, *a, self.mask)
 
+        ke_kw = {} if ke is None else {'KE': ke}
+
         def propose(params, root_vecs, mask, u_seq, tabs):
             return model.apply(
                 params, root_vecs, mask, u_seq, tabs, beam,
-                method=lambda m, *a: m._decoder().hdec_propose(*a))
+                method=lambda m, *a: m._decoder().hdec_propose(*a, **ke_kw))
         _propose = jax.jit(propose)
         self.propose = lambda rv, u_seq, tabs: _propose(
             self.params, rv, self.mask, u_seq, tabs)
@@ -1343,8 +1349,13 @@ def decode_hier_turbo(model, params, vocab: PairVocab, avocab: Vocab,
     root_vecs = np.asarray(root_vecs)
     batch_size = root_vecs.shape[0]
     T = max_decode_step
-    kern = _get_kernel(HierDecodeKernel, model, params, vocab.mask, beam)
     tabs = _assm_tables(vocab, avocab)
+    # vocab-derived static cluster-edge budget: a graft records 2 rows per
+    # motif bond, so 2·max(nbond)+2 covers every trackable motif — the
+    # conservative KE=64 default sized the per-step atom refresh (the
+    # propose scan's dominant section, runs/PROPOSE_COST.json) ~2x too big
+    ke = min(64, 2 * int(np.asarray(tabs['nbond']).max()) + 2)
+    kern = _get_kernel(HierDecodeKernel, model, params, vocab.mask, beam, ke)
     if ladder is None:
         ladder = (64,) if jax.default_backend() == 'cpu' else ()
     rungs = sorted({min(r, T) for r in ladder} | {T})

@@ -639,10 +639,16 @@ class HierDecoder(nn.Module):
             return (a_av, e_av, e_bt, e_nth, e_bg, in_g, in_cnt, out_g,
                     out_dst, out_cnt, edge_cnt, clist, ccnt)
 
-        BMAX = tabs['b_a'].shape[1]
         carry = (a_av, e_av, e_bt, e_nth, e_bg, in_g, in_cnt, out_g, out_dst,
                  out_cnt, edge_cnt, clist, ccnt)
-        return jax.lax.fori_loop(0, BMAX, bond_step, carry)
+        # dynamic trip bound: iterations with k >= nbond are no-ops for
+        # every sample (the ``on`` guard), so truncating at the batch's max
+        # active bond count is bit-exact — BMAX is 30 but the median motif
+        # has 6 bonds, and backtrack steps (do_c all-False) skip the loop
+        # entirely.  This inner loop runs once per decode-scan step, so its
+        # trip count multiplies the whole scan's primitive count.
+        limit = jnp.max(jnp.where(do_c, nbond, 0))
+        return jax.lax.fori_loop(0, limit, bond_step, carry)
 
     def hdec_propose(self, root_vecs, vocab_mask, u_seq, tabs, beam: int,
                      max_nb: int = 12, A: int = 512, Eg: int = 640,
