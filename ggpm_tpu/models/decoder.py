@@ -1007,7 +1007,30 @@ class MotifDecoder(nn.Module):
         carry0 = (state, clab, ilab, slot_used, atom_fv, slot_atom, atom_cnt,
                   node_as2, node_noop, in_deg, agraph, down_row, stack, sp,
                   nxt)
-        xs = (jnp.arange(T, dtype=jnp.int32), u_seq, pin_op, pin_clab,
-              pin_ilab)
-        _, packed = jax.lax.scan(step, carry0, xs)
+        # EARLY-TERMINATING loop (not lax.scan): the T budget is a worst
+        # case, but every sample's stack usually empties long before it —
+        # once all sp hit 0 the remaining iterations of a scan would burn
+        # full step cost for bit-identical no-ops.  A while_loop stops at
+        # the batch's true max decode length; packed rows past it stay
+        # zero (choose=0), which every consumer treats as "finished"
+        # (the replay walks its own stack and stops at the same step the
+        # device's sp hit 0; the rung depth-simulation decrements on
+        # choose=0 rows).
+        packed0 = jnp.zeros((T, batch_size, 5 + 3 * beam), jnp.float32)
+
+        def loop_cond(st):
+            t, carry, _ = st
+            return (t < T) & jnp.any(carry[13] > 0)
+
+        def loop_body(st):
+            t, carry, packed = st
+            inputs = (t, u_seq[t], pin_op[t], pin_clab[t], pin_ilab[t])
+            carry, row = step(carry, inputs)
+            packed = jax.lax.dynamic_update_slice(packed, row[None],
+                                                  (t, 0, 0))
+            return t + 1, carry, packed
+
+        _, _, packed = jax.lax.while_loop(
+            loop_cond, loop_body,
+            (jnp.asarray(0, jnp.int32), carry0, packed0))
         return packed, root_cls, root_icls

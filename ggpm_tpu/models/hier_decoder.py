@@ -1152,8 +1152,28 @@ class HierDecoder(nn.Module):
                   node_as2, in_deg, agraph, down_row, stack, sp, nxt,
                   poisoned, a_av, e_av, e_bt, e_nth, e_bg, in_g, in_cnt,
                   out_g, out_dst, out_cnt, edge_cnt, clist, ccnt)
-        xs = (jnp.arange(T, dtype=jnp.int32), u_seq)
-        carry1, packed = jax.lax.scan(step, carry0, xs)
+        # EARLY-TERMINATING loop (not lax.scan): see MotifDecoder.dec_propose
+        # — the hier step body is ~10x the motif's (3-level refresh + graft
+        # loop, runs/PROPOSE_COST.json: 46 MB/step vs 2.4), so stopping at
+        # the batch's true max decode length instead of the full T budget is
+        # the single biggest lever on hier decode wall-clock.  Rows past the
+        # stop step stay zero (choose=0) = "finished" to every consumer.
+        packed0 = jnp.zeros((T, B, 9 + 3 * beam), jnp.float32)
+
+        def loop_cond(st):
+            t, carry, _ = st
+            return (t < T) & jnp.any(carry[16] > 0)
+
+        def loop_body(st):
+            t, carry, packed = st
+            carry, row = step(carry, (t, u_seq[t]))
+            packed = jax.lax.dynamic_update_slice(packed, row[None],
+                                                  (t, 0, 0))
+            return t + 1, carry, packed
+
+        _, carry1, packed = jax.lax.while_loop(
+            loop_cond, loop_body,
+            (jnp.asarray(0, jnp.int32), carry0, packed0))
         if return_state:
             return packed, root_cls, root_icls, carry1
         return packed, root_cls, root_icls, carry1[18]
