@@ -316,7 +316,16 @@ def tensorize(mol_batch, vocab, avocab) -> MolGraphBatch:
         homos.append(float('nan') if x[1] is None else float(x[1]))
         lumos.append(float('nan') if x[2] is None else float(x[2]))
         hmols.append(MolGraph(x[0]))
+    return tensorize_mols(smiles_list, homos, lumos, hmols, vocab, avocab)
 
+
+def tensorize_mols(smiles_list, homos, lumos, hmols, vocab,
+                   avocab) -> MolGraphBatch:
+    """Tensorize ALREADY-DECOMPOSED MolGraphs.  Lets large-corpus prep
+    decompose each molecule exactly once (label collection and tensorize
+    share the MolGraph); ``tensorize`` itself is the one-shot wrapper.
+    NOTE: mutates the hmols' tree node attrs (batch offsets) — each hmol
+    may be tensorized only once."""
     tree_tensors, tree_batch_g = tensorize_graph([h.mol_tree for h in hmols], vocab)
     graph_tensors, graph_batch_g = tensorize_graph([h.mol_graph for h in hmols], avocab)
     tree_scope = tree_tensors.scope
