@@ -39,10 +39,19 @@ def _load(path):
 
 
 def _tensorize_all(data, vocab, bs):
+    """Batch EVERY row: the tail partial batch is kept (pad_batch pads it),
+    so no molecule is silently dropped (ADVICE r4: the trailing
+    len(data)%bs rows used to vanish — on the curated fine-tune those are
+    the most task-relevant molecules)."""
     from ggpm_tpu.data.vocab_extract import tensorize_batches
     from ggpm_tpu.graph.vocab import common_atom_vocab
-    raw = [data[i:i + bs] for i in range(0, len(data) - bs + 1, bs)]
-    return tensorize_batches(raw, vocab, common_atom_vocab, ncpu=8)
+    raw = [data[i:i + bs] for i in range(0, len(data), bs)]
+    batches = tensorize_batches(raw, vocab, common_atom_vocab, ncpu=8)
+    n_rows = sum(len(b) for b in raw)
+    print(f'  tensorized {n_rows}/{len(data)} rows into {len(batches)} '
+          f'batches (tail batch size {len(raw[-1]) if raw else 0})',
+          flush=True)
+    return batches
 
 
 def _make_model(vocab, loss_scaling, hidden, latent):
@@ -188,6 +197,7 @@ def main():
     _random.Random(11).shuffle(cur_labeled)
     cur_hold, cur_train = cur_labeled[:12], cur_labeled[12:]
     ft_data = _labeled(prune_to_vocab(hopv, vocab)) + cur_train
+    _random.Random(13).shuffle(ft_data)  # mix curated rows across batches
     print(f'pretrain {len(pre_data)} / ft {len(ft_data)} '
           f'(curated {len(cur_train)}) / test {len(cur_hold)} holdout '
           f'+ {len(cur_labeled)} full', flush=True)
