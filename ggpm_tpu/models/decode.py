@@ -254,13 +254,23 @@ class HierDecodeKernel:
     """Jitted step functions for the hierarchical decoder."""
 
     def __init__(self, model, params, vocab_mask: np.ndarray, beam: int = 5,
-                 ke: Optional[int] = None):
+                 ke: Optional[int] = None, a_budget: Optional[int] = None,
+                 eg_budget: Optional[int] = None,
+                 nbg_budget: Optional[int] = None):
         self.params = params
         self.mask = jnp.asarray(vocab_mask)
         self.beam = beam
-        # static cluster-edge-row budget for the propose scan (vocab-derived
-        # data bound; None keeps hdec_propose's conservative default)
+        # static row budgets for the propose scan (vocab/data-derived
+        # bounds; None keeps hdec_propose's conservative defaults).  The
+        # scan carries (1+B·Eg)-row LSTM graph states and a (1+B·A)-row
+        # atom table through every step, so oversized budgets cost real
+        # HBM traffic per step; undersized ones are SAFE — a sample whose
+        # graft would outrun its budget is poisoned in-scan and falls
+        # back to the exact host path (see hdec_propose's ovf guard).
         self.ke = ke
+        self.a_budget = a_budget
+        self.eg_budget = eg_budget
+        self.nbg_budget = nbg_budget
 
         # params/mask as runtime arguments — see MotifDecodeKernel for why
         # closure-captured arrays make lowering take minutes
@@ -306,7 +316,11 @@ class HierDecodeKernel:
         _step_fused = jax.jit(step)
         self.step_fused = lambda *a: _step_fused(self.params, *a, self.mask)
 
-        ke_kw = {} if ke is None else {'KE': ke}
+        ke_kw = {}
+        for k, v in (('KE', ke), ('A', a_budget), ('Eg', eg_budget),
+                     ('NBG', nbg_budget)):
+            if v is not None:
+                ke_kw[k] = v
 
         def propose(params, root_vecs, mask, u_seq, tabs):
             return model.apply(
@@ -1325,7 +1339,9 @@ def decode_hier_turbo(model, params, vocab: PairVocab, avocab: Vocab,
                       rng: Optional[np.random.Generator] = None,
                       log_steps: bool = False,
                       ladder: Optional[tuple] = None,
-                      chunk: Optional[int] = None):
+                      chunk: Optional[int] = None,
+                      a_budget: int = 256, eg_budget: int = 384,
+                      nbg_budget: int = 8):
     """Device-resident speculative decode for the HIER family: one
     ``lax.scan`` proposes the whole trajectory (``HierDecoder.
     hdec_propose`` — 3-level message passing, candidate scoring against
@@ -1355,7 +1371,15 @@ def decode_hier_turbo(model, params, vocab: PairVocab, avocab: Vocab,
     # conservative KE=64 default sized the per-step atom refresh (the
     # propose scan's dominant section, runs/PROPOSE_COST.json) ~2x too big
     ke = min(64, 2 * int(np.asarray(tabs['nbond']).max()) + 2)
-    kern = _get_kernel(HierDecodeKernel, model, params, vocab.mask, beam, ke)
+    # a_budget/eg_budget/nbg_budget: static atom/edge-row/in-degree budgets
+    # for the propose scan's per-sample flat tables.  The scan carries
+    # (1+B·Eg)-row LSTM (h, c) states and a (1+B·A)-row atom table through
+    # every step — the old conservative defaults (A=512, Eg=640) made the
+    # 3-level state ~300 MB at B=120 and the scan HBM-copy-bound
+    # (runs/PROPOSE_COST.json).  Tighter budgets are SAFE: an overrun
+    # poisons the sample in-scan and it falls back to the exact host path.
+    kern = _get_kernel(HierDecodeKernel, model, params, vocab.mask, beam,
+                       ke, a_budget, eg_budget, nbg_budget)
     if ladder is None:
         ladder = (64,) if jax.default_backend() == 'cpu' else ()
     rungs = sorted({min(r, T) for r in ladder} | {T})

@@ -856,7 +856,16 @@ class MotifDecoder(nn.Module):
                 extraB = c_n1 + jnp.where(c_isz == 2, exA, 0)
                 return feas, slotA, slotB, extraA, extraB, is2
 
-            feasible, _, _, _, _, _ = feas_for(icls_k)         # [B, K]
+            # ONE oracle call for the beam AND the committed child: column
+            # K carries the pinned icls, so the commit-time columns below
+            # are take_along_axis selections instead of a second feas_for
+            # (same inputs — both calls read the pre-update carry — so this
+            # is bit-exact; the scan body is op-launch-bound and feas_for
+            # is ~70 primitives)
+            cand_il = jnp.concatenate([icls_k, p_ilab[:, None]], axis=1)
+            feas_all, slotA_all, slotB_all, exA_all, exB_all, is2_all = \
+                feas_for(cand_il)                              # [B, K+1]
+            feasible = feas_all[:, :beam]                      # [B, K]
             any_feas = feasible.any(axis=1)
             j_star = jnp.argmax(feasible, axis=1).astype(jnp.int32)
             spec_clab = jnp.take_along_axis(
@@ -914,14 +923,19 @@ class MotifDecoder(nn.Module):
             # (host counterpart: try_add_mol's graft + update_attached)
             commit = choose & (~forced)
             ilab = ilab.at[ar, i_ch].set(new_ilab, mode='drop')
-            c_feas, c_slotA, c_slotB, c_exA, c_exB, c_is2 = \
-                feas_for(new_ilab[:, None])
-            c_feas = c_feas[:, 0]
-            slotA = c_slotA[:, 0]
-            slotB = c_slotB[:, 0]
-            exA = c_exA[:, 0]
-            exB = c_exB[:, 0]
-            is2 = c_is2[:, 0]
+            # committed column of the merged oracle call: the pinned column
+            # (K) for op==1, else the committed beam (j_star, or beam 0
+            # when no beam is feasible) — matches new_ilab above, so these
+            # selections equal feas_for(new_ilab[:, None]) exactly
+            j_commit = jnp.where(p_op == 1, beam,
+                                 jnp.where(any_feas, j_star, 0))[:, None]
+            sel_c = lambda x: jnp.take_along_axis(x, j_commit, axis=1)[:, 0]
+            c_feas = sel_c(feas_all)
+            slotA = sel_c(slotA_all)
+            slotB = sel_c(slotB_all)
+            exA = sel_c(exA_all)
+            exB = sel_c(exB_all)
+            is2 = sel_c(is2_all)
             # ONE packed gather for every child-birth column (see
             # decode._assm_tables' bpack layout)
             bp = tabs['bpack'][new_ilab]                       # [B, 8+5S]

@@ -26,13 +26,23 @@ def make_lr_schedule(lr: float, anneal_rate: float, steps_per_epoch: int):
 
 
 def make_optimizer(lr: float = 1e-3, clip_norm: float = 20.0,
-                   anneal_rate: float = 0.9, steps_per_epoch: int = 1000):
-    return optax.chain(
+                   anneal_rate: float = 0.9, steps_per_epoch: int = 1000,
+                   flatten: bool = False):
+    """Adam + exponential decay + global-norm clip.
+
+    ``flatten=True`` wraps the chain in ``optax.flatten`` so clip/adam run
+    on ONE ravelled vector instead of per-leaf (~60 leaves × ~10 HLOs →
+    ~10 HLOs + a concat): the training step is op-count-bound on TPU
+    (runs/TRACE_step.json), so the per-leaf optimizer costs real wall time.
+    Numerically identical up to float reduction order (the global norm sums
+    in a different association)."""
+    tx = optax.chain(
         optax.clip_by_global_norm(clip_norm),
         optax.scale_by_adam(),
         optax.scale_by_learning_rate(
             make_lr_schedule(lr, anneal_rate, steps_per_epoch)),
     )
+    return optax.flatten(tx) if flatten else tx
 
 
 def make_multi_optimizer(group_fn: Callable[[str], str],

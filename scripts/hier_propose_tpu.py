@@ -26,6 +26,11 @@ def main():
     ap.add_argument('--ckpt', default='runs/QUALITY_hier_hopv.json.ckpt')
     ap.add_argument('--data', default='data/hopv15.csv')
     ap.add_argument('--out', default='runs/HIER_PROPOSE_TPU.json')
+    ap.add_argument('--a-budget', type=int, default=256)
+    ap.add_argument('--eg-budget', type=int, default=384)
+    ap.add_argument('--nbg-budget', type=int, default=8)
+    ap.add_argument('--trace', default=None,
+                    help='capture an xplane trace of one warm propose')
     args = ap.parse_args()
 
     import jax
@@ -59,24 +64,40 @@ def main():
     params = ckpt_mod.load_params(params, args.ckpt)
 
     B, T = args.b, args.t
-    kern = dec_mod._get_kernel(dec_mod.HierDecodeKernel, model, params,
-                               vocab.mask, 5)
     tabs = dec_mod._assm_tables(vocab, common_atom_vocab)
+    ke = min(64, 2 * int(np.asarray(tabs['nbond']).max()) + 2)
+    kern = dec_mod._get_kernel(dec_mod.HierDecodeKernel, model, params,
+                               vocab.mask, 5, ke, args.a_budget,
+                               args.eg_budget, args.nbg_budget)
     rv = np.random.default_rng(11).standard_normal((B, 24)).astype(
         np.float32)
     u = jnp.full((T, B), 0.5, dtype=jnp.float32)
-    report = {'b': B, 't': T,
+    report = {'b': B, 't': T, 'ke': ke, 'a_budget': args.a_budget,
+              'eg_budget': args.eg_budget, 'nbg_budget': args.nbg_budget,
               'platform': jax.devices()[0].platform}
+
+    def sync(out):
+        # jax.block_until_ready is NON-FUNCTIONAL in this environment
+        # (see train.loop.device_sync) — a true sync must FETCH a value.
+        # The round-4 artifacts' propose_warm_s: 0.01 only timed the async
+        # dispatch; the "unaccounted" e2e seconds were the scan itself.
+        np.asarray(out[3])
 
     # --- propose: compile vs warm execution ---------------------------
     t0 = time.time()
     out = kern.propose(jnp.asarray(rv), u, tabs)
-    jax.block_until_ready(out)
+    sync(out)
     report['propose_first_call_s'] = round(time.time() - t0, 1)
     t0 = time.time()
     out = kern.propose(jnp.asarray(rv), u, tabs)
-    jax.block_until_ready(out)
+    sync(out)
     report['propose_warm_s'] = round(time.time() - t0, 2)
+    if args.trace:
+        os.makedirs(args.trace, exist_ok=True)
+        with jax.profiler.trace(args.trace):
+            out = kern.propose(jnp.asarray(rv), u, tabs)
+            sync(out)
+        report['trace'] = args.trace
     packed, root_cls, root_icls, poisoned = out
     report['poisoned_frac'] = round(float(np.asarray(poisoned).mean()), 3)
 

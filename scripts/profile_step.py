@@ -126,7 +126,13 @@ def main():
             lambda p: model.apply(p, dev, 0.1, rng, True, False,
                                   rngs={'dropout': jax.random.fold_in(rng, 1)})[0]
         )(params)
-        return loss, jax.tree.leaves(grads)[0]
+        # consume EVERY grad leaf: returning just one lets XLA dead-code-
+        # eliminate most of the backward (the round-4 artifact's "51 ms
+        # outside autodiff" was mostly this DCE'd backward time —
+        # runs/STEP_OVERHEAD_cpu.json: 6.3k HLOs with one leaf consumed
+        # vs 12.6k with all)
+        return loss, jnp.sqrt(sum(jnp.sum(g * g)
+                                  for g in jax.tree.leaves(grads)))
 
     def full_step(params, opt_state, dev, rng):
         # non-donating wrapper around trainer.step_fn semantics
