@@ -105,26 +105,57 @@ class Metrics:
             valid = valid[:k]
         return len(set(valid)) / max(len(valid), 1)
 
+    def _fp_matrix(self, smiles_list: Sequence[Optional[str]]) -> np.ndarray:
+        """Stack Morgan on-bit sets into a dense [n, n_bits] float32 matrix
+        (pairwise Tanimoto then becomes one matmul — the Python pair loop
+        was O(n²) set ops and dominated quality-run wall time at the 4,882-
+        molecule polymers test set: ~24M pairs)."""
+        rows = []
+        for s in smiles_list:
+            if not s:
+                continue
+            m = get_mol(s)
+            if m is None:
+                continue
+            bits = morgan_bits(m, self.radius, self.n_bits)
+            row = np.zeros(self.n_bits, dtype=np.float32)
+            row[list(bits)] = 1.0
+            rows.append(row)
+        if not rows:
+            return np.zeros((0, self.n_bits), dtype=np.float32)
+        return np.stack(rows)
+
+    @staticmethod
+    def _tanimoto_block(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+        """[nA, nB] pairwise Tanimoto between dense 0/1 fp matrices; the
+        both-empty convention matches ``chem.tanimoto`` (empty∩empty=1)."""
+        inter = A @ B.T
+        pa = A.sum(axis=1)[:, None]
+        pb = B.sum(axis=1)[None, :]
+        union = pa + pb - inter
+        out = np.divide(inter, union, out=np.zeros_like(inter),
+                        where=union > 0)
+        return np.where(union > 0, out, 1.0)
+
     def internal_diversity(self, gen: Sequence[Optional[str]]) -> float:
-        mols = [get_mol(s) for s in gen if s]
-        fps = [morgan_bits(m, self.radius, self.n_bits) for m in mols if m]
-        if len(fps) < 2:
+        fps = self._fp_matrix([s for s in gen if s])
+        n = fps.shape[0]
+        if n < 2:
             return 0.0
-        sims = []
-        for i in range(len(fps)):
-            for j in range(i + 1, len(fps)):
-                sims.append(tanimoto(fps[i], fps[j]))
-        return 1.0 - float(np.mean(sims))
+        sim = self._tanimoto_block(fps, fps)
+        iu = np.triu_indices(n, k=1)
+        return 1.0 - float(np.mean(sim[iu]))
 
     def snn(self, gen: Sequence[Optional[str]], ref: Sequence[str]) -> float:
-        gen_fp = [morgan_bits(m, self.radius, self.n_bits)
-                  for m in (get_mol(s) for s in gen if s) if m]
-        ref_fp = [morgan_bits(m, self.radius, self.n_bits)
-                  for m in (get_mol(s) for s in ref if s) if m]
-        if not gen_fp or not ref_fp:
+        gen_fp = self._fp_matrix(gen)
+        ref_fp = self._fp_matrix(ref)
+        if gen_fp.shape[0] == 0 or ref_fp.shape[0] == 0:
             return 0.0
-        vals = [max(tanimoto(g, r) for r in ref_fp) for g in gen_fp]
-        return float(np.mean(vals))
+        best = np.full(gen_fp.shape[0], -np.inf, dtype=np.float32)
+        for i in range(0, ref_fp.shape[0], 2048):   # bound the block size
+            sim = self._tanimoto_block(gen_fp, ref_fp[i:i + 2048])
+            best = np.maximum(best, sim.max(axis=1))
+        return float(np.mean(best))
 
     def frag_similarity(self, gen: Sequence[Optional[str]],
                         ref: Sequence[str],

@@ -352,11 +352,21 @@ class HierDecoder(nn.Module):
 
     def _sparse_direct(self, rnn, state, rows, x, bg_rows, n_iter):
         """Cell application on explicit rows with explicit predecessor-row
-        tables (decode-time variant of the scan's sparse update)."""
+        tables (decode-time variant of the scan's sparse update).
+
+        The x-side gate projections are loop-invariant, so they are hoisted
+        out of the iteration loop via the cells' split-step API (x_proj /
+        k_h / step — the same linearity restructure the dense forward
+        uses): for diterG=3 this removes 2/3 of the full-width gate
+        matmuls from the propose scan's per-step atom refresh.  Both
+        decode paths (exact hdec_* and hdec_propose) share this helper,
+        so turbo-vs-exact equivalence is unaffected."""
         valid = (rows > 0)
+        xp = rnn.x_proj(x)
+        ks = rnn.k_h()
         for _ in range(n_iter):
             nei = tuple(s[bg_rows] for s in state)
-            new = rnn.cell(x, nei)
+            new = rnn.step(xp, nei, ks)
             state = tuple(
                 s.at[rows].set(jnp.where(valid[..., None], nr, s[rows]))
                 .at[0].set(0.0)
@@ -650,6 +660,216 @@ class HierDecoder(nn.Module):
         limit = jnp.max(jnp.where(do_c, nbond, 0))
         return jax.lax.fori_loop(0, limit, bond_step, carry)
 
+    def _graft_rows_vec(self, tabs, carry, b_of, new_ilab, ch_atom_f, do_c,
+                        nth_edge, skip_anchor, nn_flat, Eg, NBG, KE):
+        """Closed-form (loop-free) equivalent of ``_graft_rows``.
+
+        The sequential bond loop costs ~640 primitives PER BOND inside the
+        propose scan's while body (scripts/propose_ops.py) — ~6x the rest
+        of the step at the median 6-bond motif.  It can be eliminated
+        because add_edge's bookkeeping has a closed form: a directed row
+        (u→w)'s final predecessor list is exactly the in-rows of u in
+        chronological order minus its own reverse (w→u) — the creation-time
+        ``in_g[u]`` copy plus the later bonds' retroactive appends land at
+        slots equal to the row's fill level (both equal ``in_cnt[u]-1``
+        because every row's view excludes exactly one in-edge).  With
+        per-bond exclusive prefix ranks over each atom's incident add-bond
+        list, every row id, slot and value is a direct expression, and the
+        whole graft becomes ~15 scatters/gathers regardless of bond count.
+        Bit-exact vs the loop (tests/test_decode.py::test_graft_rows_vec_
+        matches_sequential) as long as no atom exceeds NBG in-rows — which
+        the valence model guarantees for non-poisoned samples.
+        """
+        (a_av, e_av, e_bt, e_nth, e_bg, in_g, in_cnt, out_g, out_dst,
+         out_cnt, edge_cnt, clist, ccnt) = carry
+        B = do_c.shape[0]
+        ar = jnp.arange(B)
+        nbond = tabs['nbond'][new_ilab]                       # [B]
+        bonds = tabs['bondpack'][new_ilab]                    # [B, BMAX, 4]
+        d_att = tabs['dst_att'][new_ilab]                     # [B, S]
+        BMAX = bonds.shape[1]
+        S = d_att.shape[1]
+        kk = jnp.arange(BMAX)[None, :]
+        NE = e_av.shape[0]                                    # OOB sentinel
+        NA = in_g.shape[0]
+
+        a_s, b_s, bt = bonds[..., 0], bonds[..., 1], bonds[..., 2]
+        anch = bonds[..., 3].astype(bool) & skip_anchor[:, None]
+        on = do_c[:, None] & (kk < nbond[:, None])            # [B, BMAX]
+        add = on & (~anch)
+        u = jnp.take_along_axis(ch_atom_f, a_s, axis=1)       # [B, BMAX]
+        w = jnp.take_along_axis(ch_atom_f, b_s, axis=1)
+
+        # edge row ids: e1_k = 1 + b_of + edge_cnt0 + 2·(#add bonds < k)
+        add_i = add.astype(jnp.int32)
+        e_off = 2 * (jnp.cumsum(add_i, axis=1) - add_i)
+        e1 = 1 + b_of[:, None] + edge_cnt[:, None] + e_off
+        e2 = e1 + 1
+
+        # ---- pre-graft reads (everything below scatters) -----------------
+        c0_in = in_cnt[ch_atom_f]                             # [B, S]
+        pre_out_rows = out_g[ch_atom_f]                       # [B, S, NBG]
+        pre_out_dst = out_dst[ch_atom_f]
+        pre_in = in_g[ch_atom_f]                              # [B, S, NBG]
+        av_u = a_av[u]
+        av_w = a_av[w]
+
+        # per-slot incident-add structure and exclusive ranks
+        sidx = jnp.arange(S)
+        inc_a = (a_s[:, None, :] == sidx[None, :, None]) & add[:, None, :]
+        inc_b = (b_s[:, None, :] == sidx[None, :, None]) & add[:, None, :]
+        incid = inc_a | inc_b                                 # [B, S, BMAX]
+        inc_i = incid.astype(jnp.int32)
+        rank = jnp.cumsum(inc_i, axis=2) - inc_i              # [B, S, BMAX]
+        cnt_s = inc_i.sum(axis=2)                             # [B, S]
+
+        # new in-row id and other-endpoint tables per (slot, rank):
+        # bond j contributes in-row e2_j to a_j's atom, e1_j to b_j's
+        contrib = jnp.where(inc_a, e2[:, None, :],
+                            jnp.where(inc_b, e1[:, None, :], 0))
+        oth = jnp.where(inc_a, w[:, None, :],
+                        jnp.where(inc_b, u[:, None, :], 0))
+        rank_t = jnp.where(incid, jnp.minimum(rank, NBG - 1), NBG)
+        nl = jnp.zeros((B, S, NBG), jnp.int32).at[
+            ar[:, None, None], sidx[None, :, None], rank_t].set(
+            contrib, mode='drop')
+        ol = jnp.zeros((B, S, NBG), jnp.int32).at[
+            ar[:, None, None], sidx[None, :, None], rank_t].set(
+            oth, mode='drop')
+
+        # per-bond views of the per-slot quantities
+        take_s = lambda x, s: jnp.take_along_axis(x, s[:, :, None]
+                                                  if x.ndim == 3 else s,
+                                                  axis=1)
+        rank_u = jnp.take_along_axis(
+            rank.transpose(0, 2, 1), a_s[:, :, None], axis=2)[..., 0]
+        rank_w = jnp.take_along_axis(
+            rank.transpose(0, 2, 1), b_s[:, :, None], axis=2)[..., 0]
+        c0_u = take_s(c0_in, a_s)
+        c0_w = take_s(c0_in, b_s)
+        cnt_u = take_s(cnt_s, a_s)
+        cnt_w = take_s(cnt_s, b_s)
+
+        # ---- row content: e_av / e_bt / e_nth (one scatter each) ---------
+        tgt1 = jnp.where(add, e1, NE).reshape(-1)
+        tgt2 = jnp.where(add, e2, NE).reshape(-1)
+        t12 = jnp.concatenate([tgt1, tgt2])
+        e_av = e_av.at[t12].set(
+            jnp.concatenate([av_u.reshape(-1), av_w.reshape(-1)]),
+            mode='drop')
+        e_bt = e_bt.at[t12].set(
+            jnp.concatenate([bt.reshape(-1), bt.reshape(-1)]), mode='drop')
+        d_att_b = take_s(d_att, b_s)
+        d_att_a = take_s(d_att, a_s)
+        nthv = nth_edge[:, None]
+        e_nth = e_nth.at[t12].set(jnp.concatenate(
+            [jnp.where(d_att_b > 0, nthv, 0).reshape(-1),
+             jnp.where(d_att_a > 0, nthv, 0).reshape(-1)]), mode='drop')
+
+        # ---- e_bg content of the new rows (closed form) ------------------
+        m = jnp.arange(NBG)[None, None, :]
+        nl_u = jnp.take_along_axis(nl, a_s[:, :, None], axis=1)
+        nl_w = jnp.take_along_axis(nl, b_s[:, :, None], axis=1)
+        pre_u = jnp.take_along_axis(pre_in, a_s[:, :, None], axis=1)
+        pre_w = jnp.take_along_axis(pre_in, b_s[:, :, None], axis=1)
+
+        def row_view(pre, c0, nlx, cnt, rk):
+            # slot m: pre rows below c0, then the atom's new in-rows in
+            # bond order with this bond's own reverse removed
+            idx = m - c0[:, :, None]
+            idx_adj = idx + (idx >= rk[:, :, None])
+            new_v = jnp.take_along_axis(nlx, jnp.clip(idx_adj, 0, NBG - 1),
+                                        axis=2)
+            new_ok = (idx >= 0) & (idx < cnt[:, :, None] - 1)
+            return jnp.where(idx < 0, pre, jnp.where(new_ok, new_v, 0))
+
+        row1 = row_view(pre_u, c0_u, nl_u, cnt_u, rank_u)     # e1 = u→w
+        row2 = row_view(pre_w, c0_w, nl_w, cnt_w, rank_w)     # e2 = w→u
+        e_bg = e_bg.at[t12].set(
+            jnp.concatenate([row1.reshape(-1, NBG), row2.reshape(-1, NBG)]),
+            mode='drop')
+
+        # ---- retroactive appends into PRE-EXISTING rows -------------------
+        # (uniform over slots: only attach atoms have pre out-rows).  For
+        # slot s's r-th incident add-bond, its new in-row nl[s, r] lands in
+        # every pre out-row of s (except the row whose dst is that bond's
+        # other endpoint) at slot c0_in(s) - 1 + r == the row's fill level.
+        rr = jnp.arange(NBG)
+        r_ok = rr[None, None, :] < cnt_s[:, :, None]          # [B, S, R]
+        ret_mask = (pre_out_rows > 0)[:, :, :, None] & \
+            r_ok[:, :, None, :] & \
+            (pre_out_dst[:, :, :, None] != ol[:, :, None, :])
+        # append slot = in_cnt(src)-1 at the bond = c0-1+r; EXCLUDED rows
+        # (the bond's reverse pair) get a HOLE at that slot, never a shift
+        # — add_edge's slot comes from in_cnt, not the row's fill
+        ret_slot = jnp.clip(c0_in[:, :, None, None] - 1 +
+                            rr[None, None, None, :], 0, NBG - 1)
+        ret_rows = jnp.where(ret_mask, pre_out_rows[:, :, :, None], NE)
+        e_bg = e_bg.at[ret_rows.reshape(-1),
+                       jnp.broadcast_to(ret_slot, ret_rows.shape)
+                       .reshape(-1)].set(
+            jnp.broadcast_to(nl[:, :, None, :], ret_rows.shape).reshape(-1),
+            mode='drop')
+        e_bg = e_bg.at[0].set(0)
+
+        # ---- in/out list appends + counts ---------------------------------
+        slot_in_w = jnp.clip(c0_w + rank_w, 0, NBG - 1)
+        slot_in_u = jnp.clip(c0_u + rank_u, 0, NBG - 1)
+        c0o_u = take_s(out_cnt[ch_atom_f], a_s)
+        c0o_w = take_s(out_cnt[ch_atom_f], b_s)
+        slot_out_u = jnp.clip(c0o_u + rank_u, 0, NBG - 1)
+        slot_out_w = jnp.clip(c0o_w + rank_w, 0, NBG - 1)
+        tu = jnp.where(add, u, NA).reshape(-1)
+        tw = jnp.where(add, w, NA).reshape(-1)
+        tuw = jnp.concatenate([tw, tu])
+        in_g = in_g.at[tuw, jnp.concatenate(
+            [slot_in_w.reshape(-1), slot_in_u.reshape(-1)])].set(
+            jnp.concatenate([e1.reshape(-1), e2.reshape(-1)]), mode='drop')
+        out_g = out_g.at[jnp.concatenate([tu, tw]), jnp.concatenate(
+            [slot_out_u.reshape(-1), slot_out_w.reshape(-1)])].set(
+            jnp.concatenate([e1.reshape(-1), e2.reshape(-1)]), mode='drop')
+        out_dst = out_dst.at[jnp.concatenate([tu, tw]), jnp.concatenate(
+            [slot_out_u.reshape(-1), slot_out_w.reshape(-1)])].set(
+            jnp.concatenate([w.reshape(-1), u.reshape(-1)]), mode='drop')
+        ch_t = jnp.where(cnt_s > 0, ch_atom_f, NA)
+        in_cnt = in_cnt.at[ch_t.reshape(-1)].add(cnt_s.reshape(-1),
+                                                 mode='drop')
+        out_cnt = out_cnt.at[ch_t.reshape(-1)].add(cnt_s.reshape(-1),
+                                                   mode='drop')
+        in_g = in_g.at[0].set(0)
+        out_g = out_g.at[0].set(0)
+        out_dst = out_dst.at[0].set(0)
+        in_cnt = in_cnt.at[0].set(0)
+        out_cnt = out_cnt.at[0].set(0)
+        e_av = e_av.at[0].set(0)
+        e_bt = e_bt.at[0].set(0)
+        e_nth = e_nth.at[0].set(0)
+
+        # ---- clist / ccnt --------------------------------------------------
+        # reused anchor rows: search the PRE out lists (an anchor bond's
+        # endpoints both pre-exist, and intra rows can't duplicate a bond)
+        po_u = jnp.take_along_axis(pre_out_rows, a_s[:, :, None], axis=1)
+        pd_u = jnp.take_along_axis(pre_out_dst, a_s[:, :, None], axis=1)
+        po_w = jnp.take_along_axis(pre_out_rows, b_s[:, :, None], axis=1)
+        pd_w = jnp.take_along_axis(pre_out_dst, b_s[:, :, None], axis=1)
+        r1 = (po_u * ((pd_u == w[:, :, None]) & (po_u > 0))).max(axis=-1)
+        r2 = (po_w * ((pd_w == u[:, :, None]) & (po_w > 0))).max(axis=-1)
+        reuse = on & anch
+        c1 = jnp.where(add, e1, jnp.where(reuse, r1, 0))
+        c2 = jnp.where(add, e2, jnp.where(reuse, r2, 0))
+        on_i = on.astype(jnp.int32)
+        sl = jnp.clip(ccnt[ar, nn_flat][:, None] +
+                      2 * (jnp.cumsum(on_i, axis=1) - on_i), 0, KE - 2)
+        sl = jnp.where(on, sl, KE)
+        clist = clist.at[ar[:, None], nn_flat[:, None], sl].set(
+            c1, mode='drop')
+        clist = clist.at[ar[:, None], nn_flat[:, None],
+                         jnp.where(on, sl + 1, KE)].set(c2, mode='drop')
+        ccnt = ccnt.at[ar, nn_flat].add(2 * on_i.sum(axis=1))
+        edge_cnt = edge_cnt + 2 * add_i.sum(axis=1)
+        return (a_av, e_av, e_bt, e_nth, e_bg, in_g, in_cnt, out_g,
+                out_dst, out_cnt, edge_cnt, clist, ccnt)
+
     def hdec_propose(self, root_vecs, vocab_mask, u_seq, tabs, beam: int,
                      max_nb: int = 12, A: int = 512, Eg: int = 640,
                      NBG: int = 10, KE: int = 64, cand_cap: int = 24,
@@ -754,7 +974,7 @@ class HierDecoder(nn.Module):
             jnp.where(root_valid, tabs['av'][root_icls], 0)).at[0].set(0)
         carry_g = (a_av, e_av, e_bt, e_nth, e_bg, in_g, in_cnt, out_g,
                    out_dst, out_cnt, edge_cnt, clist, ccnt)
-        carry_g = self._graft_rows(
+        carry_g = self._graft_rows_vec(
             tabs, carry_g, b_of_e, root_icls, root_atom_f,
             root_fits, jnp.zeros(B, jnp.int32),
             jnp.zeros(B, bool), jnp.zeros(B, jnp.int32), Eg, NBG, KE)
@@ -1115,9 +1335,9 @@ class HierDecoder(nn.Module):
             nth_edge = jnp.where(nc_j == 1, 0, in_deg[ar, v])
             carry_g = (a_av, e_av, e_bt, e_nth, e_bg, in_g, in_cnt, out_g,
                        out_dst, out_cnt, edge_cnt, clist, ccnt)
-            carry_g = self._graft_rows(tabs, carry_g, b_of_e, new_ilab,
-                                       ch_atom_f, do_c, nth_edge,
-                                       skip_anchor, nn_i, Eg, NBG, KE)
+            carry_g = self._graft_rows_vec(tabs, carry_g, b_of_e, new_ilab,
+                                           ch_atom_f, do_c, nth_edge,
+                                           skip_anchor, nn_i, Eg, NBG, KE)
             (a_av, e_av, e_bt, e_nth, e_bg, in_g, in_cnt, out_g, out_dst,
              out_cnt, edge_cnt, clist, ccnt) = carry_g
 

@@ -83,13 +83,23 @@ if [ -n "${WAIT_PID:-}" ]; then
   fi
 fi
 
-steps=${*:-bench scale_eval polymers_full hier_hopv_test ft_sweep bench_final}
+steps=${*:-bench hier_tune step_overhead scale_eval polymers_full hier_hopv_test ft_sweep bench_final}
 for s in $steps; do
   case $s in
     bench)
       run bench_r5 1800 python bench.py ;;
     bench_final)
       run bench_r5_final 1800 python bench.py ;;
+    hier_tune)
+      # warm-propose timing at the old vs new table budgets + a trace
+      run hier_tune_old 1200 python scripts/hier_propose_tpu.py \
+        --a-budget 512 --eg-budget 640 --nbg-budget 10 \
+        --out runs/HIER_PROPOSE_old.json
+      run hier_tune_new 1200 python scripts/hier_propose_tpu.py \
+        --out runs/HIER_PROPOSE_new.json --trace runs/hier_trace ;;
+    step_overhead)
+      run step_overhead 2400 python scripts/step_overhead.py \
+        --time --batch 240 ;;
     scale_eval)
       run scale_eval 5400 python scripts/scale_run.py --eval ;;
     polymers_full)

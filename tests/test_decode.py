@@ -466,3 +466,136 @@ def test_hier_replay_catches_mask_tampering(tiny_model_setup):
                 tampered += 1
                 break
     assert tampered >= 1, 'no tamperable commit step found'
+
+
+def test_graft_rows_vec_matches_sequential(tiny_model_setup):
+    """The loop-free graft bookkeeping (HierDecoder._graft_rows_vec) is
+    bit-exact vs the sequential bond loop (_graft_rows) on states EVOLVED
+    BY REAL GRAFTS (the closed form relies on add_edge's fill-level
+    invariant, which holds exactly for reachable states): root grafts,
+    then a chain of child grafts with mixed attach aliasing, skip_anchor,
+    masked samples, and varied motifs."""
+    import copy
+    from ggpm_tpu.models.decode import _assm_tables
+    from ggpm_tpu.models.vae import HierPropertyVAE
+    from ggpm_tpu.train.loop import Trainer
+    from ggpm_tpu.train.optim import make_optimizer
+    st = tiny_model_setup
+    cfg = copy.copy(st['cfg'])
+    cfg.depthG = 3
+    cfg.diterG = 1
+    model = HierPropertyVAE(cfg=cfg)
+    opt = make_optimizer(lr=2e-3, steps_per_epoch=3)
+    tr = Trainer(model, opt, st['vocab'].mask, beta=0.01, print_iter=10 ** 9)
+    params, _ = tr.init(st['batches'][0])
+    tabs = _assm_tables(st['vocab'], common_atom_vocab)
+
+    B, A, Eg, NBG, KE, n_nodes = 5, 64, 96, 8, 24, 8
+    S = tabs['stype'].shape[1]
+    rng = np.random.default_rng(0)
+    b_of_e = (np.arange(B) * Eg).astype(np.int32)
+    b_of_a = (np.arange(B) * A).astype(np.int32)
+
+    def run(name, carry, ilab, ch_atom_f, do_c, nth, skip, nn):
+        args = (tabs, carry, jnp.asarray(b_of_e), jnp.asarray(ilab),
+                jnp.asarray(ch_atom_f), jnp.asarray(do_c), jnp.asarray(nth),
+                jnp.asarray(skip), jnp.asarray(nn), Eg, NBG, KE)
+        seq = model.apply(params, *args,
+                          method=lambda m, *a: m._decoder()._graft_rows(*a))
+        vec = model.apply(
+            params, *args,
+            method=lambda m, *a: m._decoder()._graft_rows_vec(*a))
+        names = ('a_av e_av e_bt e_nth e_bg in_g in_cnt out_g out_dst '
+                 'out_cnt edge_cnt clist ccnt').split()
+        for nm, s, v in zip(names, seq, vec):
+            np.testing.assert_array_equal(
+                np.asarray(s), np.asarray(v), err_msg=f'{name}: {nm}')
+        return seq
+
+    # trackable motifs with at least one bond, varied sizes
+    n_at = np.asarray(tabs['n_at'])
+    nbond = np.asarray(tabs['nbond'])
+    ok = (~np.asarray(tabs['poison'])) & (nbond > 0) & (n_at <= S)
+    pool = np.flatnonzero(ok)
+    assert len(pool) >= 3, 'vocab too small for the graft property test'
+
+    # ---- root grafts ----------------------------------------------------
+    root_icls = pool[rng.integers(0, len(pool), B)].astype(np.int32)
+    sidxS = np.arange(S)[None, :]
+    root_valid = sidxS < n_at[root_icls][:, None]
+    root_atom_f = np.where(root_valid, 1 + b_of_a[:, None] + sidxS,
+                           0).astype(np.int32)
+    a_av0 = np.zeros(1 + B * A, np.int32)
+    av_tab = np.asarray(tabs['av'])
+    for b in range(B):
+        a_av0[root_atom_f[b][root_valid[b]]] = \
+            av_tab[root_icls[b]][root_valid[b]]
+    carry = (jnp.asarray(a_av0),
+             jnp.zeros(1 + B * Eg, jnp.int32),
+             jnp.zeros(1 + B * Eg, jnp.int32),
+             jnp.zeros(1 + B * Eg, jnp.int32),
+             jnp.zeros((1 + B * Eg, NBG), jnp.int32),
+             jnp.zeros((1 + B * A, NBG), jnp.int32),
+             jnp.zeros(1 + B * A, jnp.int32),
+             jnp.zeros((1 + B * A, NBG), jnp.int32),
+             jnp.zeros((1 + B * A, NBG), jnp.int32),
+             jnp.zeros(1 + B * A, jnp.int32),
+             jnp.zeros(B, jnp.int32),
+             jnp.zeros((B, n_nodes, KE), jnp.int32),
+             jnp.zeros((B, n_nodes), jnp.int32))
+    root_do_c = np.array([True, True, True, True, False])
+    carry = run('root', carry, root_icls, root_atom_f, root_do_c,
+                np.zeros(B, np.int32), np.zeros(B, bool),
+                np.zeros(B, np.int32))
+    atom_cnt = np.where(root_do_c, n_at[root_icls], 0).astype(np.int32)
+
+    # ---- chained child grafts -------------------------------------------
+    bpack = np.asarray(tabs['bpack'])
+    bonds_np = np.asarray(tabs['bondpack'])
+    for step in range(1, 5):
+        ilab = pool[rng.integers(0, len(pool), B)].astype(np.int32)
+        bp = bpack[ilab]
+        isz2 = bp[:, 1] >= 2
+        # attach endpoints alias EXISTING atoms (root atoms 0/1)
+        paA = (1 + b_of_a).astype(np.int32)
+        paB = (2 + b_of_a).astype(np.int32)
+        ch_ap = bp[:, 5:7]
+        ch_new = np.minimum(atom_cnt[:, None] +
+                            bp[:, 8 + 2 * S:8 + 3 * S], A - 1)
+        ch_atom = np.where(sidxS == ch_ap[:, 0:1], (paA - 1 - b_of_a)[:, None],
+                           np.where(isz2[:, None] & (sidxS == ch_ap[:, 1:2]),
+                                    (paB - 1 - b_of_a)[:, None], ch_new))
+        ch_valid = sidxS < bp[:, 0:1]
+        ch_atom_f = np.where(ch_valid, 1 + b_of_a[:, None] + ch_atom,
+                             0).astype(np.int32)
+        do_c = (rng.random(B) < 0.8) & root_do_c
+        # keep within budgets so clip paths (undefined duplicate order)
+        # never engage: real states can't exceed NBG rows per atom (valence
+        # <= 6) and the scan's ovf guard poisons oversize grafts anyway
+        deg0 = ((bonds_np[ilab][..., 0] == ch_ap[:, 0:1]) |
+                (bonds_np[ilab][..., 1] == ch_ap[:, 0:1])).sum(1)
+        deg1 = ((bonds_np[ilab][..., 0] == ch_ap[:, 1:2]) |
+                (bonds_np[ilab][..., 1] == ch_ap[:, 1:2])).sum(1)
+        in_c = np.asarray(carry[6])
+        ok_nbg = (in_c[paA] + deg0 < NBG) & \
+            (~isz2 | (in_c[paB] + deg1 < NBG))
+        do_c &= ok_nbg
+        need_e = 2 * nbond[ilab]
+        ec = np.asarray(carry[10])
+        do_c &= (ec + need_e <= Eg - 8)
+        skip = isz2 & (rng.random(B) < 0.5) & (step > 1)
+        nth = rng.integers(0, 5, B).astype(np.int32)
+        nn = np.full(B, min(step, n_nodes - 1), np.int32)
+        # seed a_av for the child's new atoms (caller contract)
+        a_av = np.asarray(carry[0]).copy()
+        bfv_new = bp[:, 8 + 4 * S:8 + 5 * S]
+        wmask = (do_c[:, None] & ch_valid &
+                 ~bp[:, 8 + 3 * S:8 + 4 * S].astype(bool))
+        a_av[np.where(wmask, ch_atom_f, 0)] = np.where(
+            wmask, bfv_new, a_av[np.where(wmask, ch_atom_f, 0)])
+        a_av[0] = 0
+        carry = (jnp.asarray(a_av),) + tuple(carry[1:])
+        carry = run(f'child{step}', carry, ilab, ch_atom_f, do_c, nth,
+                    skip, nn)
+        n_new = np.maximum(bp[:, 0] - 1 - isz2.astype(np.int32), 0)
+        atom_cnt = atom_cnt + np.where(do_c, n_new, 0)
