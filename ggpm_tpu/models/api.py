@@ -63,10 +63,32 @@ def sample(model, params, vocab: PairVocab, batch_size: int,
                         rng=np.random.default_rng(seed), **kwargs)
 
 
+def _enum_prune_chunk(task):
+    """Pool worker: build rootings + vocab-prune for a chunk of molecules
+    (each variant costs a full MolGraph decomposition — the enum-root
+    host side was ~25 single-core minutes at the 4,882-molecule polymers
+    eval before this fan-out)."""
+    rows, max_roots, vocab = task
+    from ..chem import get_mol, mol_to_smiles
+    from ..data.dataset import prune_to_vocab
+    from ..graph.chemutils import get_leaves
+    out = []
+    for i, smiles in rows:
+        mol = get_mol(smiles)
+        if mol is None:
+            continue
+        roots = get_leaves(mol)[:max_roots]
+        vs = sorted({mol_to_smiles(mol, root=r) for r in roots}) or [smiles]
+        for row in prune_to_vocab([[v, None, None] for v in vs], vocab,
+                                  verbose=False):
+            out.append((i, row[0]))
+    return out
+
+
 def reconstruct_enum_roots(model, params, smiles_list, vocab: PairVocab,
                            avocab=common_atom_vocab, max_roots: int = 6,
                            max_decode_step: int = 150,
-                           decode_batch: int = 120, **kwargs):
+                           decode_batch: int = 120, ncpu: int = 8, **kwargs):
     """Robust reconstruction via root enumeration (the reference's
     MolEnumRootDataset protocol, dataset.py:46-75 + vae_test harness):
     re-root each input SMILES at its leaves, encode/decode every rooting, and
@@ -78,35 +100,44 @@ def reconstruct_enum_roots(model, params, smiles_list, vocab: PairVocab,
 
     Returns [(original, best_decode, matched_bool)].
     """
-    from ..chem import canon_smiles, get_mol, mol_to_smiles
-    from ..data.dataset import prune_to_vocab
-    from ..graph.chemutils import get_leaves
-    from ..graph.mol_graph import tensorize
+    from ..chem import canon_smiles
+    from ..data.vocab_extract import tensorize_batches
 
+    import time as _time
+    _t0 = _time.time()
+    rows = list(enumerate(smiles_list))
+    tasks = [(rows[i:i + 64], max_roots, vocab)
+             for i in range(0, len(rows), 64)]
+    if ncpu > 1 and len(tasks) > 1:
+        from multiprocessing import Pool
+        with Pool(min(ncpu, len(tasks))) as pool:
+            chunks = pool.map(_enum_prune_chunk, tasks)
+    else:
+        chunks = [_enum_prune_chunk(t) for t in tasks]
     variants, src = [], []
-    for i, smiles in enumerate(smiles_list):
-        mol = get_mol(smiles)
-        if mol is None:
-            continue
-        roots = get_leaves(mol)[:max_roots]
-        vs = sorted({mol_to_smiles(mol, root=r) for r in roots}) or [smiles]
-        for row in prune_to_vocab([[v, None, None] for v in vs], vocab,
-                                  verbose=False):
-            variants.append(row[0])
+    for ch in chunks:
+        for i, v in ch:
+            variants.append(v)
             src.append(i)
+    if len(variants) > 4096:
+        print(f'enum-root: {len(variants)} rootings for '
+              f'{len(smiles_list)} molecules ({_time.time() - _t0:.0f}s)',
+              flush=True)
 
+    # tensorize every chunk on the pool, then encode (bucket-padded:
+    # bit-identical latents, a handful of compile shapes)
+    vchunks = [[[v, None, None] for v in variants[i:i + 64]]
+               for i in range(0, len(variants), 64)]
+    mbs = tensorize_batches(vchunks, vocab, avocab, ncpu=ncpu)
     zs = []
-    for i in range(0, len(variants), 64):
-        chunk = variants[i:i + 64]
-        mb = tensorize([[v, None, None] for v in chunk], vocab, avocab)
-        # bucket-pad: bit-identical latents, a handful of compile shapes
-        # instead of one per chunk
-        from ..data.batching import pad_batch
+    for k, mb in enumerate(mbs):
+        if k and (k * 64) % 8192 == 0:
+            print(f'enum-root: encoded {k * 64}/{len(variants)} rootings '
+                  f'({_time.time() - _t0:.0f}s)', flush=True)
         batch = jax.tree.map(jnp.asarray,
-                             to_model_batch(pad_batch(mb), vocab.mask,
-                                            pad=False))
+                             to_model_batch(mb, vocab.mask, pad=False))
         z, _ = encode(model, params, batch, perturb=False)
-        zs.append(np.asarray(z))
+        zs.append(np.asarray(z)[:len(vchunks[k])])
     z_all = (np.concatenate(zs) if zs
              else np.zeros((0, model.cfg.latent_size), np.float32))
 

@@ -187,6 +187,15 @@ def main():
     if metrics is not None:
         device_sync(metrics)
     print(f'trained in {time.time()-t0:.0f}s', flush=True)
+    # checkpoint the trained model IMMEDIATELY: the round-4 TPU polymers
+    # run hit its external timeout during the eval phase and lost a fully
+    # trained model (the ckpt used to be written only at the very end)
+    if n_epochs > 0:
+        from ggpm_tpu.data.vocab_extract import write_vocab
+        from ggpm_tpu.train import checkpoint as _ckpt_early
+        _ckpt_early.save_params(params, args.out + '.ckpt')
+        write_vocab(vocab_rows, args.out + '.vocab.txt')
+        print(f'checkpoint saved to {args.out}.ckpt', flush=True)
     ev = trainer.evaluate(params, batches)
     print('final train metrics:', {k: round(v, 3) for k, v in ev.items()}, flush=True)
 
