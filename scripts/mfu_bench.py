@@ -193,8 +193,15 @@ def main():
             print('flop count unavailable:', e)
 
         # the whole epoch runs as ONE lax.scan device call (bit-identical
-        # to sequential steps) so the measurement is compute-bound
+        # to sequential steps) so the measurement is compute-bound.
+        # Amortization fix (round 5): at b240 the 350-molecule set yields
+        # ONE batch, so k=1 made every call a single step paying full
+        # dispatch overhead while b20 amortized over k=14 — replicate the
+        # batch list to k>=8 (repeated data changes nothing about per-step
+        # cost; params/opt-state still evolve every step)
         from ggpm_tpu.train.loop import device_sync, stack_batches
+        while len(dev) < 8:
+            dev = dev + dev[:8 - len(dev)]
         stacked = stack_batches(dev)
         k = len(dev)
         for _ in range(2):
