@@ -106,6 +106,10 @@ def main():
     ap.add_argument('--data', default='data/hopv15.csv')
     ap.add_argument('--seconds', type=float, default=10.0)
     ap.add_argument('--out', default='runs/MFU.json')
+    ap.add_argument('--flatten', action='store_true',
+                    help='run the optimizer on one ravelled vector '
+                         '(optax.flatten) — A/B for the op-count-bound '
+                         'step (see train/optim.make_optimizer)')
     ap.add_argument('--quick', action='store_true',
                     help='canonical f32 b20 only (smoke test)')
     args = ap.parse_args()
@@ -167,7 +171,8 @@ def main():
                           dropout=0.0, compute_dtype=dtype, remat=remat)
         model = PropertyVAE(cfg=cfg)
         opt = make_optimizer(lr=1e-3, clip_norm=20.0, anneal_rate=0.9,
-                             steps_per_epoch=max(len(batches), 1))
+                             steps_per_epoch=max(len(batches), 1),
+                             flatten=args.flatten)
         trainer = Trainer(model, opt, vocab.mask, beta=0.1,
                           print_iter=10 ** 9)
         params, opt_state = trainer.init(batches[0])
