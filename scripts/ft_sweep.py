@@ -144,7 +144,7 @@ def main():
     ap.add_argument('--latent', type=int, default=48)
     ap.add_argument('--pre-epochs', type=int, default=150)
     ap.add_argument('--ft-epochs', type=int, default=150)
-    ap.add_argument('--protocols', default='EW,TD,IO')
+    ap.add_argument('--protocols', default='EW,TD,IO,IO2')
     ap.add_argument('--skip-pretrain', action='store_true')
     args = ap.parse_args()
 
@@ -258,14 +258,20 @@ def main():
         elif proto == 'TD':
             model = _make_model(vocab, True, args.hidden, args.latent)
             optimizer = None
-        elif proto == 'IO':
+        elif proto in ('IO', 'IO2'):
             model = model_ew
             from ggpm_tpu.train.optim import (default_group_fn,
                                               make_multi_optimizer)
+            # IO2 = the reference's only published per-subnetwork LRs
+            # (fine_tuned_property_optim_w_tie_embedding_hier_indv_opt_
+            # configs.json: lr 1e-4, homo_lr 5e-5, lumo_lr 1e-5); IO keeps
+            # the uniform 1e-3 of the motif configs
+            lrs = ({'encoder': 1e-4, 'decoder': 1e-4,
+                    'homo': 5e-5, 'lumo': 1e-5} if proto == 'IO2' else
+                   {'encoder': 1e-3, 'decoder': 1e-3,
+                    'homo': 1e-3, 'lumo': 1e-3})
             optimizer = make_multi_optimizer(
-                default_group_fn,
-                {'encoder': 1e-3, 'decoder': 1e-3,
-                 'homo': 1e-3, 'lumo': 1e-3},
+                default_group_fn, lrs,
                 clip_norm=20.0, anneal_rate=0.9,
                 steps_per_epoch=len(ft_batches))
         else:
