@@ -168,3 +168,32 @@ def test_scan_steps_matches_sequential(tiny_model_setup):
         lambda a, b: float(jnp.abs(a - b).max()), p1, p2)))
     assert mx < 1e-6
     assert tr2.total_step == len(dev2)
+
+
+def test_flat_optimizer_matches_per_leaf(tiny_model_setup):
+    """optax.flatten(make_optimizer(...)) produces the same training
+    trajectory as the per-leaf chain (up to float reduction order in the
+    global-norm clip) — the flat form exists because the step is op-count
+    bound on TPU (runs/STEP_OVERHEAD*.json)."""
+    import jax
+    import jax.numpy as jnp
+    from ggpm_tpu.train.loop import Trainer
+    from ggpm_tpu.train.optim import make_optimizer
+    st = tiny_model_setup
+
+    def run(flatten):
+        model = st['model']
+        opt = make_optimizer(lr=2e-3, clip_norm=20.0, anneal_rate=0.9,
+                             steps_per_epoch=3, flatten=flatten)
+        tr = Trainer(model, opt, st['vocab'].mask, beta=0.1,
+                     print_iter=10 ** 9, seed=17)
+        p, o = tr.init(st['batches'][0])
+        for mb in st['batches']:
+            p, o, _, _ = tr.train_step(p, o, tr._device_batch(mb))
+        return p
+
+    p_leaf = run(False)
+    p_flat = run(True)
+    mx = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), p_leaf, p_flat)))
+    assert mx < 5e-5, mx
