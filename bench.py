@@ -56,17 +56,22 @@ def _ensure_live_backend():
     if 'cpu' in os.environ.get('JAX_PLATFORMS', ''):
         return 'cpu'
     import subprocess
-    try:
-        r = subprocess.run(
-            [sys.executable, '-c',
-             'import jax, numpy, jax.numpy as jnp;'
-             'v = float(numpy.asarray(jnp.ones(2).sum()));'
-             'print(jax.devices()[0].platform, v)'],
-            timeout=240, capture_output=True, text=True)
-        if r.returncode == 0:
-            return r.stdout.split()[0] if r.stdout.split() else 'device'
-    except subprocess.TimeoutExpired:
-        pass
+    # two attempts: the relay often serves one client right after healing
+    # and wedges briefly again — a single 240s probe misclassified a
+    # healthy-but-flaky relay as dead and produced a cpu-fallback BENCH
+    # while the very next client would have connected
+    for attempt, t_out in ((1, 300), (2, 300)):
+        try:
+            r = subprocess.run(
+                [sys.executable, '-c',
+                 'import jax, numpy, jax.numpy as jnp;'
+                 'v = float(numpy.asarray(jnp.ones(2).sum()));'
+                 'print(jax.devices()[0].platform, v)'],
+                timeout=t_out, capture_output=True, text=True)
+            if r.returncode == 0 and r.stdout.split():
+                return r.stdout.split()[0]
+        except subprocess.TimeoutExpired:
+            _progress(f'backend probe attempt {attempt} timed out')
     _progress('accelerator backend unreachable — falling back to CPU')
     os.environ['JAX_PLATFORMS'] = 'cpu'
     import jax
