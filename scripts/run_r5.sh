@@ -16,18 +16,23 @@ cd "$(dirname "$0")/.."
 
 log() { echo "[r5 $(date +%H:%M:%S)] $*"; }
 
+# Probe with a LONG timeout and LONG rest: a probe killed mid-init
+# abandons a half-open relay connection and re-wedges the tunnel — the
+# 60s-probe/300s-rest loop could keep the relay wedged indefinitely
+# (observed: heal at 10:16, one client served, wedged again within 4
+# minutes of the next short probe).
 probe() {
-  timeout 60 python -c \
+  timeout 420 python -c \
     "import jax,numpy as np,jax.numpy as jnp; float(np.asarray(jnp.ones(2).sum()))" \
     >/dev/null 2>&1
 }
 
 wait_healthy() {
   local i
-  for i in $(seq 1 24); do
+  for i in $(seq 1 12); do
     if probe; then log "tunnel healthy"; return 0; fi
-    log "tunnel wedged; resting 300s (attempt $i/24)"
-    sleep 300
+    log "tunnel wedged; resting 600s (attempt $i/12)"
+    sleep 600
   done
   return 1
 }
