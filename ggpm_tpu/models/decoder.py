@@ -458,9 +458,11 @@ class MotifDecoder(nn.Module):
                 x = jnp.concatenate([emb_buf[src], pos_tab[rows]], axis=-1)
                 nei = tuple(gather_nd(s, bgraph[rows]) for s in st)
                 new_rows = self.rnn.cell(x, nei)
+                # invalid lanes target row 0 and write 0.0 — one masked
+                # scatter replaces gather+where+scatter+row0-fixup (the
+                # idiom of _run_scan's state update above)
                 return tuple(
-                    s.at[rows].set(jnp.where(valid[:, None], nr, s[rows]))
-                    .at[0].set(0.0)
+                    s.at[rows].set(jnp.where(valid[:, None], nr, 0.0))
                     for s, nr in zip(st, new_rows))
 
             state = jax.lax.fori_loop(0, self.diterT, diter_body, state)
@@ -509,8 +511,10 @@ class MotifDecoder(nn.Module):
         for _ in range(self.diterT):
             nei = tuple(s[bgraph_rows] for s in state)
             new = self.rnn.cell(x, nei)
+            # invalid lanes have rows == 0; writing 0.0 there keeps the
+            # padding row zero without the extra gather + row0 scatter
             state = tuple(
-                s.at[rows].set(jnp.where(valid[:, None], nr, s[rows])).at[0].set(0.0)
+                s.at[rows].set(jnp.where(valid[:, None], nr, 0.0))
                 for s, nr in zip(state, new))
         return state
 

@@ -168,9 +168,10 @@ class HierDecoder(nn.Module):
                 # whole [M, nb, H] table) — see MotifDecoder._run_scan
                 nei = tuple(gather_nd(s, bg[rows]) for s in state)
                 new = rnn.cell(x, nei)
+                # invalid lanes target row 0 and write 0.0 — one masked
+                # scatter, no gather or row0 fixup needed
                 state = tuple(
-                    s.at[rows].set(jnp.where(valid[..., None], nr, s[rows]))
-                    .at[0].set(0.0)
+                    s.at[rows].set(jnp.where(valid[..., None], nr, 0.0))
                     for s, nr in zip(state, new))
             return state
 
@@ -189,7 +190,7 @@ class HierDecoder(nn.Module):
             g_node_h = nn.relu(self.W_graph_node(jnp.concatenate(
                 [g_hnode[gn], nei_sum(gh, g_agraph[gn])], axis=-1)))
             hatom = hatom.at[gn].set(
-                jnp.where((gn > 0)[:, None], g_node_h, hatom[gn])).at[0].set(0.0)
+                jnp.where((gn > 0)[:, None], g_node_h, 0.0))
 
             # --- 2. attachment (inter) level ------------------------------
             src = fmess[rows, 0]
@@ -206,8 +207,7 @@ class HierDecoder(nn.Module):
             inter_node_h = nn.relu(self.W_inter_node(jnp.concatenate(
                 [inter_embed_x, nei_sum(ih, agraph[x_nodes])], axis=-1)))
             hinter_node = hinter_node.at[x_nodes].set(
-                jnp.where((x_nodes > 0)[:, None], inter_node_h,
-                          hinter_node[x_nodes])).at[0].set(0.0)
+                jnp.where((x_nodes > 0)[:, None], inter_node_h, 0.0))
 
             # --- 3. motif (tree) level ------------------------------------
             tree_embed_src = nn.relu(self.W_c(jnp.concatenate(
@@ -367,11 +367,48 @@ class HierDecoder(nn.Module):
         for _ in range(n_iter):
             nei = tuple(s[bg_rows] for s in state)
             new = rnn.step(xp, nei, ks)
+            # invalid lanes target row 0 and write 0.0 — one masked scatter
+            # (saves a gather + a row0 scatter per state element per iter;
+            # the propose scans call this 3x per step)
             state = tuple(
-                s.at[rows].set(jnp.where(valid[..., None], nr, s[rows]))
-                .at[0].set(0.0)
+                s.at[rows].set(jnp.where(valid[..., None], nr, 0.0))
                 for s, nr in zip(state, new))
         return state
+
+    def _sparse_local(self, rnn, state, rows, x, bg_rows, n_iter):
+        """Bit-exact ``_sparse_direct`` with the full-state traffic hoisted
+        out of the iteration loop.  Only ``rows`` change across iterations,
+        so (a) neighbor contributions from rows OUTSIDE the update set are
+        constant — gathered from the full state ONCE, not per iteration —
+        and (b) the full-state scatter happens once at the end instead of
+        every iteration.  The per-iteration gathers then read a [R, H]
+        local buffer instead of the [1+B·Eg, H] table: the TPU trace of
+        one warm hier propose (runs/HIER_TRACE_report.json) shows the
+        in-loop variant's per-iteration scatters each copy the full 46 MB
+        state — the propose scan's single largest cost after the gathers.
+        In-set membership is detected by a scatter/round-trip check (row 0
+        collisions are masked by ``bg > 0``)."""
+        valid = rows > 0
+        R = rows.shape[0]
+        n_all = state[0].shape[0]
+        loc_of = jnp.zeros((n_all,), jnp.int32).at[rows].set(
+            jnp.arange(R, dtype=jnp.int32), mode='drop')
+        lbg = loc_of[bg_rows]                              # [R, NB]
+        member = (rows[lbg] == bg_rows) & (bg_rows > 0)
+        nei_out = tuple(
+            jnp.where(member[..., None], 0.0, s[bg_rows]) for s in state)
+        local = tuple(s[rows] for s in state)
+        xp = rnn.x_proj(x)
+        ks = rnn.k_h()
+        for _ in range(n_iter):
+            nei = tuple(jnp.where(member[..., None], lo[lbg], out)
+                        for lo, out in zip(local, nei_out))
+            new = rnn.step(xp, nei, ks)
+            local = tuple(jnp.where(valid[..., None], nr, lo)
+                          for lo, nr in zip(local, new))
+        return tuple(
+            s.at[rows].set(jnp.where(valid[..., None], lo, 0.0))
+            for s, lo in zip(state, local))
 
     def hdec_init(self, n_tree_rows: int, n_graph_rows: int, n_gnodes: int,
                   n_tnodes: int, root_vecs):
@@ -409,7 +446,7 @@ class HierDecoder(nn.Module):
             [hn, gh[g_ag_rows.reshape(-1, g_ag_rows.shape[-1])].sum(axis=-2)],
             axis=-1)))
         hatom = hatom.at[gn].set(
-            jnp.where((gn > 0)[:, None], node_h, hatom[gn])).at[0].set(0.0)
+            jnp.where((gn > 0)[:, None], node_h, 0.0))
         return (tree_s, inter_s, graph_s, hatom, hinter_node)
 
     def hdec_topo(self, state, v_nodes, v_clab, v_ilab, v_cgraph, v_ag_rows,
@@ -424,8 +461,7 @@ class HierDecoder(nn.Module):
         inter_node = nn.relu(self.W_inter_node(jnp.concatenate(
             [inter_emb, ih[v_ag_rows].sum(axis=-2)], axis=-1)))
         hinter_node = hinter_node.at[v_nodes].set(
-            jnp.where((v_nodes > 0)[:, None], inter_node,
-                      hinter_node[v_nodes])).at[0].set(0.0)
+            jnp.where((v_nodes > 0)[:, None], inter_node, 0.0))
         tree_emb = nn.relu(self.W_c(jnp.concatenate(
             [self._ec()(v_clab), inter_node], axis=-1)))
         th = self.tree_rnn.hidden(tree_s)
@@ -730,12 +766,17 @@ class HierDecoder(nn.Module):
         oth = jnp.where(inc_a, w[:, None, :],
                         jnp.where(inc_b, u[:, None, :], 0))
         rank_t = jnp.where(incid, jnp.minimum(rank, NBG - 1), NBG)
-        nl = jnp.zeros((B, S, NBG), jnp.int32).at[
-            ar[:, None, None], sidx[None, :, None], rank_t].set(
-            contrib, mode='drop')
-        ol = jnp.zeros((B, S, NBG), jnp.int32).at[
-            ar[:, None, None], sidx[None, :, None], rank_t].set(
-            oth, mode='drop')
+        # 1-D linear-index scatters: the multi-index form lowers to dense
+        # select fusions over the whole table on TPU (runs/
+        # HIER_TRACE_report.json); masked lanes use a flat OOB sentinel —
+        # never a clamped in-range index, which would alias a live slot
+        bsn = (ar[:, None, None] * S + sidx[None, :, None]) * NBG
+        lin_r = jnp.where(incid, bsn + jnp.minimum(rank, NBG - 1),
+                          B * S * NBG)
+        nl = jnp.zeros((B * S * NBG,), jnp.int32).at[lin_r].set(
+            contrib, mode='drop').reshape(B, S, NBG)
+        ol = jnp.zeros((B * S * NBG,), jnp.int32).at[lin_r].set(
+            oth, mode='drop').reshape(B, S, NBG)
 
         # per-bond views of the per-slot quantities
         take_s = lambda x, s: jnp.take_along_axis(x, s[:, :, None]
@@ -804,13 +845,15 @@ class HierDecoder(nn.Module):
         # — add_edge's slot comes from in_cnt, not the row's fill
         ret_slot = jnp.clip(c0_in[:, :, None, None] - 1 +
                             rr[None, None, None, :], 0, NBG - 1)
-        ret_rows = jnp.where(ret_mask, pre_out_rows[:, :, :, None], NE)
-        e_bg = e_bg.at[ret_rows.reshape(-1),
-                       jnp.broadcast_to(ret_slot, ret_rows.shape)
-                       .reshape(-1)].set(
-            jnp.broadcast_to(nl[:, :, None, :], ret_rows.shape).reshape(-1),
-            mode='drop')
-        e_bg = e_bg.at[0].set(0)
+        # linear-index 1-D scatter (flat OOB sentinel for masked lanes)
+        ret_lin = jnp.where(
+            ret_mask,
+            pre_out_rows[:, :, :, None] * NBG + ret_slot, NE * NBG)
+        e_bg = e_bg.reshape(-1).at[ret_lin.reshape(-1)].set(
+            jnp.broadcast_to(nl[:, :, None, :], ret_lin.shape).reshape(-1),
+            mode='drop').reshape(NE, NBG)
+        # no row-0 reset needed: every masked target is the OOB sentinel
+        # (NE/NA) under mode='drop', so row 0 is never written
 
         # ---- in/out list appends + counts ---------------------------------
         slot_in_w = jnp.clip(c0_w + rank_w, 0, NBG - 1)
@@ -821,30 +864,25 @@ class HierDecoder(nn.Module):
         slot_out_w = jnp.clip(c0o_w + rank_w, 0, NBG - 1)
         tu = jnp.where(add, u, NA).reshape(-1)
         tw = jnp.where(add, w, NA).reshape(-1)
-        tuw = jnp.concatenate([tw, tu])
-        in_g = in_g.at[tuw, jnp.concatenate(
-            [slot_in_w.reshape(-1), slot_in_u.reshape(-1)])].set(
-            jnp.concatenate([e1.reshape(-1), e2.reshape(-1)]), mode='drop')
-        out_g = out_g.at[jnp.concatenate([tu, tw]), jnp.concatenate(
-            [slot_out_u.reshape(-1), slot_out_w.reshape(-1)])].set(
-            jnp.concatenate([e1.reshape(-1), e2.reshape(-1)]), mode='drop')
-        out_dst = out_dst.at[jnp.concatenate([tu, tw]), jnp.concatenate(
-            [slot_out_u.reshape(-1), slot_out_w.reshape(-1)])].set(
-            jnp.concatenate([w.reshape(-1), u.reshape(-1)]), mode='drop')
+        e12 = jnp.concatenate([e1.reshape(-1), e2.reshape(-1)])
+        # linear-index 1-D scatters (targets with the NA sentinel land at
+        # flat index >= NA*NBG = OOB -> dropped; slots are pre-clipped)
+        lin_in = jnp.concatenate([tw, tu]) * NBG + jnp.concatenate(
+            [slot_in_w.reshape(-1), slot_in_u.reshape(-1)])
+        in_g = in_g.reshape(-1).at[lin_in].set(
+            e12, mode='drop').reshape(NA, NBG)
+        lin_out = jnp.concatenate([tu, tw]) * NBG + jnp.concatenate(
+            [slot_out_u.reshape(-1), slot_out_w.reshape(-1)])
+        out_g = out_g.reshape(-1).at[lin_out].set(
+            e12, mode='drop').reshape(NA, NBG)
+        out_dst = out_dst.reshape(-1).at[lin_out].set(
+            jnp.concatenate([w.reshape(-1), u.reshape(-1)]),
+            mode='drop').reshape(NA, NBG)
         ch_t = jnp.where(cnt_s > 0, ch_atom_f, NA)
         in_cnt = in_cnt.at[ch_t.reshape(-1)].add(cnt_s.reshape(-1),
                                                  mode='drop')
         out_cnt = out_cnt.at[ch_t.reshape(-1)].add(cnt_s.reshape(-1),
                                                    mode='drop')
-        in_g = in_g.at[0].set(0)
-        out_g = out_g.at[0].set(0)
-        out_dst = out_dst.at[0].set(0)
-        in_cnt = in_cnt.at[0].set(0)
-        out_cnt = out_cnt.at[0].set(0)
-        e_av = e_av.at[0].set(0)
-        e_bt = e_bt.at[0].set(0)
-        e_nth = e_nth.at[0].set(0)
-
         # ---- clist / ccnt --------------------------------------------------
         # reused anchor rows: search the PRE out lists (an anchor bond's
         # endpoints both pre-exist, and intra rows can't duplicate a bond)
@@ -858,13 +896,18 @@ class HierDecoder(nn.Module):
         c1 = jnp.where(add, e1, jnp.where(reuse, r1, 0))
         c2 = jnp.where(add, e2, jnp.where(reuse, r2, 0))
         on_i = on.astype(jnp.int32)
+        n_nodes_c = clist.shape[1]
         sl = jnp.clip(ccnt[ar, nn_flat][:, None] +
                       2 * (jnp.cumsum(on_i, axis=1) - on_i), 0, KE - 2)
-        sl = jnp.where(on, sl, KE)
-        clist = clist.at[ar[:, None], nn_flat[:, None], sl].set(
-            c1, mode='drop')
-        clist = clist.at[ar[:, None], nn_flat[:, None],
-                         jnp.where(on, sl + 1, KE)].set(c2, mode='drop')
+        # linear-index 1-D scatters; masked lanes get the flat OOB sentinel
+        # (never base + KE, which would alias the next node's slot 0)
+        cl_base = (ar[:, None] * n_nodes_c + nn_flat[:, None]) * KE
+        cl_oob = B * n_nodes_c * KE
+        clist = clist.reshape(-1).at[
+            jnp.where(on, cl_base + sl, cl_oob)].set(c1, mode='drop')
+        clist = clist.at[
+            jnp.where(on, cl_base + sl + 1, cl_oob)].set(
+            c2, mode='drop').reshape(B, n_nodes_c, KE)
         ccnt = ccnt.at[ar, nn_flat].add(2 * on_i.sum(axis=1))
         edge_cnt = edge_cnt + 2 * add_i.sum(axis=1)
         return (a_av, e_av, e_bt, e_nth, e_bg, in_g, in_cnt, out_g,
@@ -1003,8 +1046,8 @@ class HierDecoder(nn.Module):
                 jnp.eye(self.atom_vocab_size, dtype=jnp.float32)[e_av[cr_flat]],
                 jnp.eye(4, dtype=jnp.float32)[jnp.clip(e_bt[cr_flat], 0, 3)],
                 pos_onehot(e_nth[cr_flat])], axis=-1)
-            graph_s = self._sparse_direct(self.graph_rnn, graph_s, cr_flat,
-                                          x_g, e_bg[cr_flat], self.diterG)
+            graph_s = self._sparse_local(self.graph_rnn, graph_s, cr_flat,
+                                         x_g, e_bg[cr_flat], self.diterG)
             gh = self.graph_rnn.hidden(graph_s)
             # ONE packed gather for every parent column (the scan body is
             # op-launch-bound; see decode._assm_tables' pack layout)
@@ -1019,8 +1062,7 @@ class HierDecoder(nn.Module):
                 [jnp.eye(self.atom_vocab_size, dtype=jnp.float32)[a_av[cf]],
                  gh[in_g[cf]].sum(axis=-2)], axis=-1)))
             hatom = hatom.at[cf].set(
-                jnp.where((cf > 0)[:, None], node_h,
-                          hatom[cf])).at[0].set(0.0)
+                jnp.where((cf > 0)[:, None], node_h, 0.0))
 
             # ---- (2) 3-level frontier readout + topology ------------------
             hclu_v = hatom[catoms].sum(axis=1)                 # [B, H]
@@ -1030,9 +1072,10 @@ class HierDecoder(nn.Module):
             inter_node = nn.relu(self.W_inter_node(jnp.concatenate(
                 [inter_emb, ih[v_ag].sum(axis=-2)], axis=-1)))
             v_flat = 1 + ar * n_nodes + v
-            hinter = hinter.at[v_flat].set(
-                jnp.where(active[:, None], inter_node,
-                          hinter[v_flat])).at[0].set(0.0)
+            # inactive lanes redirect to padding row 0 (their v_flat is a
+            # live row that must keep its value) — one masked scatter
+            hinter = hinter.at[jnp.where(active, v_flat, 0)].set(
+                jnp.where(active[:, None], inter_node, 0.0))
             tree_emb = nn.relu(self.W_c(jnp.concatenate(
                 [self._ec()(v_clab), inter_node], axis=-1)))
             th0 = self.tree_rnn.hidden(tree_s)
@@ -1323,9 +1366,10 @@ class HierDecoder(nn.Module):
             ch_atom_f = jnp.where(ch_valid & do_c[:, None],
                                   1 + b_of_a[:, None] + ch_atom, 0)
             av_tgt = jnp.where(wmask, ch_atom_f, 0)
+            # masked lanes target row 0 and write 0 — one scatter, no
+            # gather or row0 fixup
             a_av = a_av.at[av_tgt].set(
-                jnp.where(wmask, bp[:, 8 + 4 * S:8 + 5 * S], a_av[av_tgt])
-            ).at[0].set(0)
+                jnp.where(wmask, bp[:, 8 + 4 * S:8 + 5 * S], 0))
             # adj[slotA, slotB]: slotB is slotA's ring prv (kind 2) or nxt,
             # whose motif bond order is exactly ab_prv/ab_nxt at slotA
             pbond = jnp.take_along_axis(
