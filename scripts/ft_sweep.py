@@ -76,8 +76,15 @@ def _train(model, vocab, batches, epochs, params=None, optimizer=None,
                  seed=seed)
     p0, opt_state = tr.init(batches[0])
     if params is not None:
+        import jax
+        import jax.numpy as jnp
         from ggpm_tpu.train.checkpoint import copy_matching
         params, n_copied = copy_matching(p0, params)
+        # train_step DONATES its params: without a defensive copy the
+        # donor tree's buffers are consumed by the first step, and the
+        # next protocol's copy_matching returns deleted arrays
+        # ("Array has been deleted", runs/ft_sweep_r5.log)
+        params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
         print(f'  transferred {n_copied} matching leaves', flush=True)
     else:
         params = p0

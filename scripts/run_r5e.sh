@@ -50,9 +50,13 @@ until grep -q 'r5 queue: all requested steps attempted' runs/r5d_queue.log 2>/de
 done
 log "r5d finished (waited ${waited}s)"
 
-steps=${*:-hier_meas step_overhead_retry mfu mfu_flat bench_final2}
+steps=${*:-ft_sweep_retry hier_meas step_overhead_retry mfu mfu_flat bench_final2}
 for s in $steps; do
   case $s in
+    ft_sweep_retry)
+      # the donated-buffer fix: protocols 2+ no longer reuse deleted
+      # pretrain arrays; reuses the unchanged-pretrain cache if present
+      run ft_sweep_retry 10800 python scripts/ft_sweep.py --ft-epochs 150 --skip-pretrain ;;
     hier_meas)
       run hier_meas 1200 python scripts/hier_propose_tpu.py \
         --out runs/HIER_PROPOSE_opt.json --trace runs/hier_trace_opt ;;
