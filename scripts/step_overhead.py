@@ -77,7 +77,11 @@ def build(args):
     @jax.jit
     def fwd_bwd(p, b, r):
         (loss, (m, a)), g = grad_fn(p, b, r)
-        return loss, jax.tree.leaves(g)[0]
+        # consume EVERY grad leaf with ~one op each: returning a single
+        # leaf lets XLA dead-code-eliminate most of the backward (the
+        # round-4 "51 ms outside autodiff" artifact, STATUS round-5)
+        probe = sum(l.reshape(-1)[0] for l in jax.tree.leaves(g))
+        return loss, probe
 
     @jax.jit
     def fwd_bwd_gnorm(p, b, r):
@@ -208,26 +212,35 @@ def main():
             return best * 1e3
 
         ms = {}
-        ms['fwd_bwd'] = timeit(ctx['fwd_bwd'], (p, dev, rng))
-        print(f"fwd_bwd          {ms['fwd_bwd']:8.2f} ms", flush=True)
-        ms['fwd_bwd_gnorm'] = timeit(ctx['fwd_bwd_gnorm'], (p, dev, rng))
-        print(f"fwd_bwd_gnorm    {ms['fwd_bwd_gnorm']:8.2f} ms", flush=True)
 
-        import copy
+        def timed(name, fn, fargs, scale=1.0, **kw):
+            # fault-isolate each variant: one backend error (the r5d run
+            # died on the FIRST fetch with FailedPrecondition) must not
+            # cost the whole artifact
+            try:
+                ms[name] = timeit(fn, fargs, **kw) / scale
+                unit = 'ms/step' if scale != 1.0 else 'ms'
+                print(f'{name:16s} {ms[name]:8.2f} {unit}', flush=True)
+            except Exception as e:
+                ms[name] = None
+                ms[name + '_error'] = f'{type(e).__name__}: {e}'[:200]
+                print(f'{name:16s} FAILED {ms[name + "_error"]}', flush=True)
+
+        timed('fwd_bwd', ctx['fwd_bwd'], (p, dev, rng))
+        timed('fwd_bwd_gnorm', ctx['fwd_bwd_gnorm'], (p, dev, rng))
+
         for name, o, st in (('step', ctx['opt'], s),
                             ('step_flat', ctx['opt_flat'], sf)):
             step = ctx['make_step'](o, donate=True)
             pp = jax.tree.map(jnp.copy, p)
             ss = jax.tree.map(jnp.copy, st)
-            ms[name] = timeit(step, (pp, ss, dev, rng), donating=True)
-            print(f'{name:16s} {ms[name]:8.2f} ms', flush=True)
+            timed(name, step, (pp, ss, dev, rng), donating=True)
 
         for name, o, st in (('step_nometrics', ctx['opt'], s),):
             step = ctx['make_step_nometrics'](o)
             pp = jax.tree.map(jnp.copy, p)
             ss = jax.tree.map(jnp.copy, st)
-            ms[name] = timeit(step, (pp, ss, dev, rng), donating=True)
-            print(f'{name:16s} {ms[name]:8.2f} ms', flush=True)
+            timed(name, step, (pp, ss, dev, rng), donating=True)
 
         k = args.scan_k
         stacked = jax.tree.map(
@@ -237,9 +250,8 @@ def main():
             scan = ctx['make_scan'](o, k)
             pp = jax.tree.map(jnp.copy, p)
             ss = jax.tree.map(jnp.copy, st)
-            ms[name] = timeit(scan, (pp, ss, stacked, rng), n=5,
-                              donating=True) / k
-            print(f'{name:16s} {ms[name]:8.2f} ms/step', flush=True)
+            timed(name, scan, (pp, ss, stacked, rng), n=5,
+                  donating=True, scale=float(k))
         report['ms'] = ms
 
     os.makedirs('runs', exist_ok=True)
