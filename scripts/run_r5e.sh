@@ -50,9 +50,12 @@ until grep -q 'r5 queue: all requested steps attempted' runs/r5d_queue.log 2>/de
 done
 log "r5d finished (waited ${waited}s)"
 
-steps=${*:-ft_sweep_retry hier_meas step_overhead_retry mfu mfu_flat bench_final2}
+steps=${*:-ft_sweep_retry hier_meas motif_meas step_overhead_retry mfu mfu_flat bench_final2}
 for s in $steps; do
   case $s in
+    motif_meas)
+      run motif_meas 1500 python scripts/motif_propose_tpu.py \
+        --out runs/MOTIF_PROPOSE_TPU.json --trace runs/motif_trace ;;
     ft_sweep_retry)
       # the donated-buffer fix: protocols 2+ no longer reuse deleted
       # pretrain arrays; reuses the unchanged-pretrain cache if present
